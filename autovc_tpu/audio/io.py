@@ -1,0 +1,62 @@
+"""Host-side wav I/O and resampling.
+
+The reference loads audio with ``librosa.load`` (float32, mono by channel
+averaging, optional resample; ``autovc/audio/__init__.py:31-47``) and writes
+with ``soundfile.write`` (``audio/__init__.py:52-57``).  Neither library is
+available here, so this module implements equivalent behaviour on top of
+``scipy.io.wavfile`` + ``scipy.signal.resample_poly`` (polyphase FIR, a
+higher-quality sibling of librosa's default resampler).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import scipy.io.wavfile as _wavfile
+import scipy.signal as _signal
+
+_PCM_SCALE = {
+    np.dtype(np.int16): 1 << 15,
+    np.dtype(np.int32): 1 << 31,
+    np.dtype(np.uint8): 1 << 7,
+}
+
+
+def load_wav(path: str, sr: int | None = None, mono: bool = True):
+    """Load a wav file as float32 in [-1, 1].
+
+    Returns (wav, sample_rate).  If ``sr`` is given the audio is resampled.
+    Multi-channel audio is averaged to mono (librosa ``to_mono`` semantics).
+    """
+    file_sr, data = _wavfile.read(path)
+    if data.dtype in _PCM_SCALE:
+        if data.dtype == np.dtype(np.uint8):
+            data = data.astype(np.float32) - 128.0
+        wav = data.astype(np.float32) / _PCM_SCALE[data.dtype]
+    else:  # already float
+        wav = data.astype(np.float32)
+    if mono and wav.ndim > 1:
+        wav = wav.mean(axis=1)
+    if sr is not None and sr != file_sr:
+        wav = resample(wav, file_sr, sr)
+        file_sr = sr
+    return np.ascontiguousarray(wav, dtype=np.float32), file_sr
+
+
+def save_wav(path: str, wav: np.ndarray, sr: int) -> None:
+    """Write float audio as 16-bit PCM."""
+    wav = np.asarray(wav, dtype=np.float32)
+    peak = np.max(np.abs(wav)) if wav.size else 0.0
+    if peak > 1.0:
+        wav = wav / peak
+    _wavfile.write(path, sr, (wav * 32767.0).astype(np.int16))
+
+
+def resample(wav: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resampling (e.g. 48000 -> 22050 uses 147/320)."""
+    if orig_sr == target_sr:
+        return wav
+    g = math.gcd(int(orig_sr), int(target_sr))
+    up, down = target_sr // g, orig_sr // g
+    return _signal.resample_poly(wav.astype(np.float64), up, down).astype(
+        np.float32)
