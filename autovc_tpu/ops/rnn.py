@@ -1,0 +1,190 @@
+"""Recurrent cores as fused-gate ``lax.scan`` kernels.
+
+TPU-first design for the LSTM/BLSTM/GRU stacks the reference gets from cuDNN
+(``nn.LSTM`` in auto_encoder/encoder.py:51, decoder.py:37,53,
+speaker_encoder/model.py:49; ``nn.GRU`` in wavernn/model.py:161-162):
+
+* the input projection ``x @ W_ih`` for *all* timesteps is hoisted out of the
+  recurrence into one large (B·T, I) x (I, 4H) matmul that saturates the MXU;
+* the scan carries only (h, c) and performs a single (B, H) x (H, 4H) matmul
+  per step — the minimal sequential work an LSTM admits;
+* gate nonlinearities fuse into the scan body (VPU epilogue).
+
+Weight layout matches PyTorch semantics (gate order i,f,g,o for LSTM and
+r,z,n for GRU, separate b_ih/b_hh) so converted reference checkpoints load
+without re-derivation; matrices are stored pre-transposed as (in, 4H)/(H, 4H)
+for right-multiplication.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+# Recurrences are parity-tested against PyTorch at rtol 1e-4; keep full fp32
+# matmuls (the tensors are small — the batch dimension provides MXU work).
+DOT_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    return jnp.matmul(a, b, precision=DOT_PRECISION)
+
+
+def _uniform(key, shape, scale):
+    return jax.random.uniform(key, shape, minval=-scale, maxval=scale,
+                              dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# LSTM
+# ---------------------------------------------------------------------------
+
+
+def init_lstm_layer(key, input_size: int, hidden_size: int) -> Params:
+    """One LSTM layer, PyTorch default init: U(-1/sqrt(H), 1/sqrt(H))."""
+    k = 1.0 / jnp.sqrt(hidden_size)
+    keys = jax.random.split(key, 4)
+    return {
+        "w_ih": _uniform(keys[0], (input_size, 4 * hidden_size), k),
+        "w_hh": _uniform(keys[1], (hidden_size, 4 * hidden_size), k),
+        "b_ih": _uniform(keys[2], (4 * hidden_size,), k),
+        "b_hh": _uniform(keys[3], (4 * hidden_size,), k),
+    }
+
+
+def lstm_layer(params: Params, x: jnp.ndarray, reverse: bool = False,
+               h0: jnp.ndarray | None = None, c0: jnp.ndarray | None = None):
+    """Run one LSTM layer over (B, T, I) -> outputs (B, T, H), final (h, c).
+
+    The input projection runs as one big time-parallel matmul; only the
+    (B, H) x (H, 4H) recurrent matmul lives in the scan.
+    """
+    B, T, _ = x.shape
+    H = params["w_hh"].shape[0]
+    # (B, T, 4H): hoisted input projection + both biases.
+    xp = _dot(x, params["w_ih"]) + params["b_ih"] + params["b_hh"]
+    h = jnp.zeros((B, H), x.dtype) if h0 is None else h0
+    c = jnp.zeros((B, H), x.dtype) if c0 is None else c0
+
+    w_hh = params["w_hh"]
+
+    def step(carry, xp_t):
+        h, c = carry
+        gates = xp_t + _dot(h, w_hh)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    (h, c), ys = jax.lax.scan(step, (h, c), jnp.swapaxes(xp, 0, 1),
+                              reverse=reverse)
+    return jnp.swapaxes(ys, 0, 1), (h, c)
+
+
+def init_lstm_stack(key, input_size: int, hidden_size: int,
+                    num_layers: int) -> List[Params]:
+    keys = jax.random.split(key, num_layers)
+    return [init_lstm_layer(keys[i],
+                            input_size if i == 0 else hidden_size,
+                            hidden_size)
+            for i in range(num_layers)]
+
+
+def lstm_stack(params: Sequence[Params], x: jnp.ndarray):
+    """Unidirectional multi-layer LSTM.  Returns (outputs, last-layer (h, c),
+    and the per-layer final hidden states stacked as (L, B, H))."""
+    finals = []
+    for layer in params:
+        x, (h, c) = lstm_layer(layer, x)
+        finals.append(h)
+    return x, (h, c), jnp.stack(finals)
+
+
+def init_bilstm_stack(key, input_size: int, hidden_size: int,
+                      num_layers: int) -> List[Params]:
+    """Bidirectional stack: each layer holds 'fwd' and 'bwd' sublayers; layer
+    l > 0 consumes the concatenated (2H) outputs of layer l-1 (PyTorch
+    ``bidirectional=True`` semantics)."""
+    keys = jax.random.split(key, num_layers * 2)
+    layers = []
+    for i in range(num_layers):
+        in_size = input_size if i == 0 else 2 * hidden_size
+        layers.append({
+            "fwd": init_lstm_layer(keys[2 * i], in_size, hidden_size),
+            "bwd": init_lstm_layer(keys[2 * i + 1], in_size, hidden_size),
+        })
+    return layers
+
+
+def bilstm_stack(params: Sequence[Params], x: jnp.ndarray) -> jnp.ndarray:
+    """Bidirectional multi-layer LSTM over (B, T, I) -> (B, T, 2H).
+
+    The two directions are independent scans (they can run concurrently under
+    XLA); outputs concatenate [forward, backward] on the feature axis, exactly
+    the layout the AutoVC encoder slices into fwd/bwd codes
+    (auto_encoder/encoder.py:74-77).
+    """
+    for layer in params:
+        fwd, _ = lstm_layer(layer["fwd"], x)
+        bwd, _ = lstm_layer(layer["bwd"], x, reverse=True)
+        x = jnp.concatenate([fwd, bwd], axis=-1)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# GRU
+# ---------------------------------------------------------------------------
+
+
+def init_gru_layer(key, input_size: int, hidden_size: int) -> Params:
+    k = 1.0 / jnp.sqrt(hidden_size)
+    keys = jax.random.split(key, 4)
+    return {
+        "w_ih": _uniform(keys[0], (input_size, 3 * hidden_size), k),
+        "w_hh": _uniform(keys[1], (hidden_size, 3 * hidden_size), k),
+        "b_ih": _uniform(keys[2], (3 * hidden_size,), k),
+        "b_hh": _uniform(keys[3], (3 * hidden_size,), k),
+    }
+
+
+def gru_cell(params: Params, xp_t: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """One GRU step given the *precomputed* input projection
+    ``xp_t = x_t @ w_ih + b_ih`` (shape (B, 3H)).
+
+    PyTorch gate semantics: r, z from the summed projections; the candidate
+    n uses ``r * (h @ w_hn + b_hn)`` — b_hh must stay inside the reset gate,
+    which is why it cannot be folded into ``xp_t``.
+    """
+    hp = _dot(h, params["w_hh"]) + params["b_hh"]
+    H = h.shape[-1]
+    xr, xz, xn = xp_t[..., :H], xp_t[..., H:2 * H], xp_t[..., 2 * H:]
+    hr, hz, hn = hp[..., :H], hp[..., H:2 * H], hp[..., 2 * H:]
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
+def gru_project_inputs(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Hoisted time-parallel input projection for :func:`gru_cell`."""
+    return _dot(x, params["w_ih"]) + params["b_ih"]
+
+
+def gru_layer(params: Params, x: jnp.ndarray,
+              h0: jnp.ndarray | None = None):
+    """One GRU layer over (B, T, I) -> outputs (B, T, H), final h."""
+    B, T, _ = x.shape
+    H = params["w_hh"].shape[0]
+    xp = gru_project_inputs(params, x)
+    h = jnp.zeros((B, H), x.dtype) if h0 is None else h0
+
+    def step(h, xp_t):
+        h = gru_cell(params, xp_t, h)
+        return h, h
+
+    h, ys = jax.lax.scan(step, h, jnp.swapaxes(xp, 0, 1))
+    return jnp.swapaxes(ys, 0, 1), h
