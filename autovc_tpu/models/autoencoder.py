@@ -1,0 +1,251 @@
+"""AutoVC generator: content encoder + bottleneck + decoder + postnet.
+
+Functional JAX re-design of the reference model
+(``autovc/auto_encoder/{model,encoder,decoder,postnet,net_layers}.py``):
+parameters are a pytree, the forward is a pure function (BatchNorm state is
+threaded explicitly), recurrences are fused-gate ``lax.scan``s and all shapes
+are static under jit.
+
+Architecture contract (verified against the reference):
+  * Encoder (encoder.py:22-97): concat(mel, speaker-emb broadcast) (B,336,T)
+    -> 3 x [ConvNorm k5 'relu' -> BN -> ReLU] at 512 ch -> 2-layer BLSTM with
+    hidden ``dim_neck`` per direction -> downsample: forward codes at
+    t = freq-1, 2*freq-1, ... and backward codes at t = 0, freq, ...
+    (the paper-consistent variant, encoder.py:94-95).
+  * Upsampling (model.py:103-124): each code repeats ``freq`` frames; the
+    last forward code additionally covers the tail; backward upsample is
+    truncated to T.
+  * Decoder (decoder.py:25-78): LSTM(2*neck+emb -> 512) -> 3 x
+    [ConvNorm k5 'relu' -> BN -> ReLU] -> 2-layer LSTM(-> 1024) ->
+    Linear(1024 -> 80).
+  * Postnet (postnet.py:16-63): 5 x [ConvNorm k5 -> BN], tanh on the first
+    four; output added residually to the decoder mel (model.py:131-132).
+
+Tensor layout is channel-first (B, n_mels, T) end to end, matching the
+reference's actual dataflow (its docstring says otherwise; the code is
+channel-first).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from autovc_tpu.config import AutoEncoderConfig
+from autovc_tpu.ops import conv as C
+from autovc_tpu.ops import rnn as R
+
+Params = Dict[str, Any]
+
+
+def init(key, cfg: AutoEncoderConfig = AutoEncoderConfig()) -> Params:
+    keys = jax.random.split(key, 16)
+    n_mels = cfg.n_mels
+    enc_convs = [
+        C.init_conv_bn(keys[0], n_mels + cfg.dim_emb, 512, 5, "relu"),
+        C.init_conv_bn(keys[1], 512, 512, 5, "relu"),
+        C.init_conv_bn(keys[2], 512, 512, 5, "relu"),
+    ]
+    enc_blstm = R.init_bilstm_stack(keys[3], 512, cfg.dim_neck, 2)
+
+    dec_in = 2 * cfg.dim_neck + cfg.dim_emb
+    dec_lstm1 = R.init_lstm_stack(keys[4], dec_in, cfg.dim_pre, 1)
+    dec_convs = [
+        C.init_conv_bn(keys[5], cfg.dim_pre, cfg.dim_pre, 5, "relu"),
+        C.init_conv_bn(keys[6], cfg.dim_pre, cfg.dim_pre, 5, "relu"),
+        C.init_conv_bn(keys[7], cfg.dim_pre, cfg.dim_pre, 5, "relu"),
+    ]
+    dec_lstm2 = R.init_lstm_stack(keys[8], cfg.dim_pre, 1024, 2)
+    dec_proj = C.init_linear(keys[9], 1024, n_mels)
+
+    post_convs = [
+        C.init_conv_bn(keys[10], n_mels, 512, 5, "tanh"),
+        C.init_conv_bn(keys[11], 512, 512, 5, "tanh"),
+        C.init_conv_bn(keys[12], 512, 512, 5, "tanh"),
+        C.init_conv_bn(keys[13], 512, 512, 5, "tanh"),
+        C.init_conv_bn(keys[14], 512, n_mels, 5, "linear"),
+    ]
+    return {
+        "encoder": {"convs": enc_convs, "blstm": enc_blstm},
+        "decoder": {"lstm1": dec_lstm1, "convs": dec_convs,
+                    "lstm2": dec_lstm2, "proj": dec_proj},
+        "postnet": {"convs": post_convs},
+    }
+
+
+class EncoderOut(NamedTuple):
+    codes_fwd: jnp.ndarray   # (B, n_fwd, dim_neck)
+    codes_bwd: jnp.ndarray   # (B, n_bwd, dim_neck)
+
+
+def encoder(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
+            freq: int, dim_neck: int, train: bool = False,
+            axis_name: str | None = None):
+    """(B, n_mels, T), (B, emb) -> downsampled codes.  Returns
+    (EncoderOut, new_encoder_params)."""
+    T = x.shape[-1]
+    h = jnp.concatenate(
+        [x, jnp.broadcast_to(c_org[:, :, None],
+                             (*c_org.shape, T))], axis=1)
+    new_convs = []
+    for p in params["convs"]:
+        h, p2 = C.conv_bn(p, h, 5, train=train, activation=jax.nn.relu,
+                          axis_name=axis_name)
+        new_convs.append(p2)
+    h = jnp.swapaxes(h, 1, 2)                       # (B, T, 512)
+    out = R.bilstm_stack(params["blstm"], h)        # (B, T, 2*neck)
+    out_f, out_b = out[..., :dim_neck], out[..., dim_neck:]
+    codes_fwd = out_f[:, freq - 1::freq, :]
+    codes_bwd = out_b[:, ::freq, :]
+    return (EncoderOut(codes_fwd, codes_bwd),
+            dict(params, convs=new_convs))
+
+
+def upsample_codes(codes_fwd: jnp.ndarray, codes_bwd: jnp.ndarray,
+                   freq: int, T: int) -> jnp.ndarray:
+    """Paper-consistent upsampling (model.py:103-124): repeat each code over
+    ``freq`` frames, extend the last forward code over the tail, truncate the
+    backward expansion to T.  Returns (B, T, 2*dim_neck)."""
+    up_f = jnp.repeat(codes_fwd, freq, axis=1)
+    tail = T - up_f.shape[1]
+    if tail > 0:
+        up_f = jnp.concatenate(
+            [up_f, jnp.repeat(codes_fwd[:, -1:, :], tail, axis=1)], axis=1)
+    up_b = jnp.repeat(codes_bwd, freq, axis=1)[:, :T, :]
+    return jnp.concatenate([up_f, up_b], axis=-1)
+
+
+def decoder(params: Params, x: jnp.ndarray, train: bool = False,
+            axis_name: str | None = None):
+    """(B, T, 2*neck+emb) -> (B, T, n_mels).  Returns (mel, new_params)."""
+    h, _, _ = R.lstm_stack(params["lstm1"], x)
+    h = jnp.swapaxes(h, 1, 2)
+    new_convs = []
+    for p in params["convs"]:
+        h, p2 = C.conv_bn(p, h, 5, train=train, activation=jax.nn.relu,
+                          axis_name=axis_name)
+        new_convs.append(p2)
+    h = jnp.swapaxes(h, 1, 2)
+    h, _, _ = R.lstm_stack(params["lstm2"], h)
+    mel = C.linear(params["proj"], h)
+    return mel, dict(params, convs=new_convs)
+
+
+def postnet(params: Params, x: jnp.ndarray, train: bool = False,
+            axis_name: str | None = None):
+    """(B, n_mels, T) -> residual (B, n_mels, T).  tanh on all but the last
+    conv (postnet.py:50-62)."""
+    h = x
+    new_convs = []
+    n = len(params["convs"])
+    for i, p in enumerate(params["convs"]):
+        act = jnp.tanh if i < n - 1 else None
+        h, p2 = C.conv_bn(p, h, 5, train=train, activation=act,
+                          axis_name=axis_name)
+        new_convs.append(p2)
+    return h, dict(params, convs=new_convs)
+
+
+def _flatten_codes(enc: EncoderOut) -> jnp.ndarray:
+    """Content-code layout of the reference loss (model.py:99,143):
+    cat(codes_fwd over time) ++ cat(codes_bwd over time) on features."""
+    B = enc.codes_fwd.shape[0]
+    return jnp.concatenate(
+        [enc.codes_fwd.reshape(B, -1), enc.codes_bwd.reshape(B, -1)], axis=-1)
+
+
+def content_codes(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
+                  cfg: AutoEncoderConfig, train: bool = False,
+                  axis_name: str | None = None):
+    """Encoder-only pass (the reference's ``forward(..., c_trg=None)``,
+    model.py:98-101).  Returns (codes, new_params)."""
+    enc, enc_new = encoder(params["encoder"], x, c_org, cfg.freq,
+                           cfg.dim_neck, train=train, axis_name=axis_name)
+    return _flatten_codes(enc), dict(params, encoder=enc_new)
+
+
+def forward(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
+            c_trg: jnp.ndarray, cfg: AutoEncoderConfig,
+            train: bool = False, axis_name: str | None = None):
+    """Full generator pass.
+
+    Args:
+      x: (B, n_mels, T) mel batch; c_org/c_trg: (B, dim_emb) embeddings.
+    Returns:
+      (mel_decoder, mel_postnet, content_codes, new_params) with mels in
+      (B, n_mels, T) — mirroring model.py:68-146.
+    """
+    T = x.shape[-1]
+    enc, enc_new = encoder(params["encoder"], x, c_org, cfg.freq,
+                           cfg.dim_neck, train=train, axis_name=axis_name)
+    codes = _flatten_codes(enc)
+
+    up = upsample_codes(enc.codes_fwd, enc.codes_bwd, cfg.freq, T)
+    dec_in = jnp.concatenate(
+        [up, jnp.broadcast_to(c_trg[:, None, :], (x.shape[0], T,
+                                                  c_trg.shape[-1]))], axis=-1)
+    mel_dec, dec_new = decoder(params["decoder"], dec_in, train=train,
+                               axis_name=axis_name)
+    mel_dec = jnp.swapaxes(mel_dec, 1, 2)           # (B, n_mels, T)
+    residual, post_new = postnet(params["postnet"], mel_dec, train=train,
+                                 axis_name=axis_name)
+    mel_post = mel_dec + residual
+    new_params = {"encoder": enc_new, "decoder": dec_new,
+                  "postnet": post_new}
+    return mel_dec, mel_post, codes, new_params
+
+
+def loss(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
+         cfg: AutoEncoderConfig, mu: float = 1.0, lambd: float = 1.0,
+         train: bool = True, axis_name: str | None = None):
+    """Three-term AutoVC reconstruction loss (model.py:184-215):
+    MSE(postnet, x) + mu * MSE(decoder, x) + lambd * L1(codes(recon), codes).
+
+    The content codes of the reconstruction re-run the encoder on the postnet
+    output, exactly as the reference does (model.py:201).  Returns
+    (loss, (aux dict, new_params)).
+    """
+    mel_dec, mel_post, codes, p1 = forward(params, x, c_org, c_org, cfg,
+                                           train=train, axis_name=axis_name)
+    recon_codes, p2 = content_codes(p1, mel_post, c_org, cfg, train=train,
+                                    axis_name=axis_name)
+    l_post = jnp.mean((mel_post - x) ** 2)
+    l_dec = jnp.mean((mel_dec - x) ** 2)
+    l_content = jnp.mean(jnp.abs(recon_codes - codes))
+    total = l_post + mu * l_dec + lambd * l_content
+    aux = {"loss": total, "loss_recon": l_post, "loss_recon0": l_dec,
+           "loss_content": l_content}
+    return total, (aux, p2)
+
+
+def batch_forward(params: Params, chunks: jnp.ndarray, c_org: jnp.ndarray,
+                  c_trg: jnp.ndarray, cfg: AutoEncoderConfig,
+                  overlap: float = 0.5) -> jnp.ndarray:
+    """Convert overlapping mel chunks as one batch and merge by mean
+    overlap-add (the reference's NaN-pad + nanmean, model.py:395-437,
+    expressed as a sum/count overlap-add — identical result, no NaNs).
+
+    Args:
+      chunks: (M, n_mels, N) mel slices with hop N*(1-overlap).
+      c_org/c_trg: (1, dim_emb).
+    Returns: (n_mels, T_total) merged converted mel.
+    """
+    M, n_mels, N = chunks.shape
+    c_org = jnp.broadcast_to(c_org, (M, c_org.shape[-1]))
+    c_trg = jnp.broadcast_to(c_trg, (M, c_trg.shape[-1]))
+    _, mel_post, _, _ = forward(params, chunks, c_org, c_trg, cfg,
+                                train=False)
+    step = int(N * (1 - overlap))
+    total = N + (M - 1) * step
+    acc = jnp.zeros((n_mels, total), mel_post.dtype)
+    cnt = jnp.zeros((1, total), mel_post.dtype)
+    ones = jnp.ones((1, N), mel_post.dtype)
+    for i in range(M):   # M is static at trace time (one compile per M)
+        acc = jax.lax.dynamic_update_slice(
+            acc, jax.lax.dynamic_slice(acc, (0, i * step), (n_mels, N))
+            + mel_post[i], (0, i * step))
+        cnt = jax.lax.dynamic_update_slice(
+            cnt, jax.lax.dynamic_slice(cnt, (0, i * step), (1, N)) + ones,
+            (0, i * step))
+    return acc / cnt

@@ -1,0 +1,146 @@
+"""GE2E speaker encoder: d-vector embedder + GE2E softmax loss.
+
+Functional JAX re-design of ``autovc/speaker_encoder/model.py:21-463``:
+3-layer LSTM(40 -> 256) -> Linear(256 -> 256) -> ReLU -> L2-normalise, taking
+the final hidden state of the last layer (model.py:70-90).  The GE2E
+similarity matrix / loss follows section 2.1 of the GE2E paper
+(model.py:192-264) in fully vectorised form.
+
+Fixes over the reference (SURVEY.md §2a quirks):
+  * ``similarity_weight``/``similarity_bias`` are real parameters in the
+    pytree (the reference creates detached copies inside ``learn``,
+    model.py:339-340, and its ``_similarity_matrix`` crashes on a stale
+    ``self.params.device``, model.py:217).
+  * ``embed_utterance`` embeds the actual utterance — used by the converter
+    instead of the reference's hard-coded 'hilde' lookup
+    (voice_converter.py:145-147).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autovc_tpu.audio import dsp
+from autovc_tpu.config import SpeakerEncoderConfig
+from autovc_tpu.ops import conv as C
+from autovc_tpu.ops import rnn as R
+
+Params = Dict[str, Any]
+
+
+def init(key, cfg: SpeakerEncoderConfig = SpeakerEncoderConfig()) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "lstm": R.init_lstm_stack(k1, cfg.input_size, cfg.hidden_size,
+                                  cfg.num_layers),
+        "linear": C.init_linear(k2, cfg.hidden_size, cfg.embedding_size),
+        # GE2E affine scaling, fixed initial values w=10, b=-5
+        # (speaker_encoder/model.py:339-340).
+        "similarity_weight": jnp.asarray(10.0, jnp.float32),
+        "similarity_bias": jnp.asarray(-5.0, jnp.float32),
+    }
+
+
+def forward(params: Params, utterances: jnp.ndarray) -> jnp.ndarray:
+    """(B, n_frames, n_mels) -> L2-normalised embeddings (B, emb)."""
+    _, (h, _), _ = R.lstm_stack(params["lstm"], utterances)
+    raw = jax.nn.relu(C.linear(params["linear"], h))
+    return raw / jnp.linalg.norm(raw, axis=-1, keepdims=True)
+
+
+forward_jit = jax.jit(forward)
+
+
+def embed_utterance(params: Params, wav: np.ndarray,
+                    cfg: SpeakerEncoderConfig = SpeakerEncoderConfig(),
+                    using_partials: bool = True,
+                    return_partials: bool = False, **slice_kwargs):
+    """Embedding of one utterance (model.py:136-190): slice into partials,
+    embed the batch, average, L2-normalise."""
+    if not using_partials:
+        frames = dsp.mel_spec_speaker_encoder(wav, cfg.spectrogram)
+        embed = np.asarray(forward_jit(params, frames[None]))[0]
+        return (embed, None, None) if return_partials else embed
+
+    frames_batch, wave_slices, _ = dsp.mel_spec_speaker_encoder_sliced(
+        wav, cfg.spectrogram, **slice_kwargs)
+    partial_embeds = np.asarray(forward_jit(params, frames_batch))
+    raw = partial_embeds.mean(axis=0)
+    embed = raw / np.linalg.norm(raw, 2)
+    if return_partials:
+        return embed, partial_embeds, wave_slices
+    return embed
+
+
+def similarity_matrix(params: Params, embeds: jnp.ndarray) -> jnp.ndarray:
+    """GE2E similarity matrix (model.py:192-234), vectorised.
+
+    Args:
+      embeds: (speakers S, utterances U, emb E), assumed L2-normalised.
+    Returns: (S, U, S) scaled cosine similarities — entry [j, u, k] compares
+    utterance u of speaker j with the centroid of speaker k; the k == j case
+    uses the exclusive centroid (leave-one-out).
+    """
+    S, U, E = embeds.shape
+    centroids_incl = jnp.mean(embeds, axis=1)                     # (S, E)
+    centroids_incl = centroids_incl / jnp.linalg.norm(
+        centroids_incl, axis=-1, keepdims=True)
+    centroids_excl = (jnp.sum(embeds, axis=1, keepdims=True) - embeds) \
+        / (U - 1)                                                  # (S, U, E)
+    centroids_excl = centroids_excl / jnp.linalg.norm(
+        centroids_excl, axis=-1, keepdims=True)
+
+    sim_all = jnp.einsum("jue,ke->juk", embeds, centroids_incl)
+    sim_diag = jnp.sum(embeds * centroids_excl, axis=-1)           # (S, U)
+    eye = jnp.eye(S, dtype=bool)[:, None, :]                       # (S, 1, S)
+    sim = jnp.where(eye, sim_diag[:, :, None], sim_all)
+    return sim * params["similarity_weight"] + params["similarity_bias"]
+
+
+def ge2e_loss(params: Params, embeds: jnp.ndarray) -> jnp.ndarray:
+    """GE2E softmax loss (model.py:236-264): cross-entropy of the similarity
+    rows against the true speaker index."""
+    S, U, _ = embeds.shape
+    sim = similarity_matrix(params, embeds).reshape(S * U, S)
+    targets = jnp.repeat(jnp.arange(S), U)
+    logp = jax.nn.log_softmax(sim, axis=-1)
+    return -jnp.mean(logp[jnp.arange(S * U), targets])
+
+
+def batch_ge2e_loss(params: Params, batch: jnp.ndarray) -> jnp.ndarray:
+    """Loss from raw mel batches (S, U, frames, mels): embed every utterance
+    as one flat batch (MXU-friendly — the reference loops per speaker,
+    model.py:267-272), reshape, apply GE2E."""
+    S, U, T, M = batch.shape
+    embeds = forward(params, batch.reshape(S * U, T, M)).reshape(S, U, -1)
+    return ge2e_loss(params, embeds)
+
+
+def equal_error_rate(sim: np.ndarray) -> float:
+    """EER diagnostic from a similarity matrix (S, U, S) — the metric the
+    reference left commented out (model.py:254-262)."""
+    S, U, _ = sim.shape
+    labels = np.zeros((S, U, S), dtype=bool)
+    for j in range(S):
+        labels[j, :, j] = True
+    scores = sim.reshape(-1)
+    truth = labels.reshape(-1)
+    order = np.argsort(-scores)
+    truth = truth[order]
+    tpr = np.cumsum(truth) / max(truth.sum(), 1)
+    fpr = np.cumsum(~truth) / max((~truth).sum(), 1)
+    return float(fpr[np.argmin(np.abs(fpr - (1 - tpr)))])
+
+
+def learn_speaker(params: Params, wav_files, cfg: SpeakerEncoderConfig
+                  = SpeakerEncoderConfig()) -> np.ndarray:
+    """Mean speaker embedding over a list of wav files (model.py:446-460)."""
+    from autovc_tpu.audio import io
+    embeds = []
+    for f in wav_files:
+        wav, _ = io.load_wav(f, sr=cfg.spectrogram.sr)
+        embeds.append(embed_utterance(params, wav, cfg))
+    return np.mean(np.stack(embeds), axis=0)

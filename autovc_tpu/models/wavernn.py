@@ -1,0 +1,368 @@
+"""WaveRNN autoregressive vocoder, TPU-native.
+
+Functional JAX re-design of ``autovc/wavernn/model.py:16-494``:
+
+* **Conditioning upsampler** (model.py:16-92): MelResNet (valid k5 conv + BN
+  + 10 1x1 residual blocks) whose output is nearest-neighbour stretched by
+  the total scale, plus a chain of [stretch, (1, 2s+1) smoothing conv] pairs
+  on the mel image.  All convs lower to XLA ``conv_general_dilated``.
+* **Sampling network**: linear I -> GRU1 -> +res -> GRU2 -> +res -> fc1 ->
+  fc2 -> fc3 with aux-feature concatenations (model.py:175-211).
+* **Generation** (model.py:214-329): the 12k+-step per-sample Python loop of
+  the reference becomes a single ``lax.scan`` that lives entirely on device:
+  - the fold trick (model.py:358-399) turns sequence length into batch
+    parallelism — each ~0.55 s fold is a batch row, so the per-step matmuls
+    are (num_folds, 512) x (512, 1536) MXU work;
+  - every input projection that does not depend on the generated sample
+    (the mel/aux contributions to I, GRU2, fc1, fc2) is hoisted out of the
+    scan into large time-parallel matmuls;
+  - MOL/RAW sampling runs inside the scan with an on-device threefry key
+    carry (no host round-trips anywhere in the loop);
+  - the equal-power crossfade unfold (model.py:401-456) merges folds.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autovc_tpu.config import WaveRNNConfig
+from autovc_tpu.ops import conv as C
+from autovc_tpu.ops import mol as MOL
+from autovc_tpu.ops import rnn as R
+
+Params = Dict[str, Any]
+
+_dot = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init(key, cfg: WaveRNNConfig = WaveRNNConfig()) -> Params:
+    keys = iter(jax.random.split(key, 32))
+    cd, rd, ad = cfg.compute_dims, cfg.rnn_dims, cfg.aux_dims
+
+    def conv_nobias(k, i, o, ks):
+        p = C.init_conv1d(k, i, o, ks, bias=False)
+        return p
+
+    resnet = {
+        "conv_in": conv_nobias(next(keys), cfg.feat_dims, cd, cfg.pad * 2 + 1),
+        "bn_in": C.init_batchnorm(cd),
+        "blocks": [
+            {"conv1": conv_nobias(next(keys), cd, cd, 1),
+             "bn1": C.init_batchnorm(cd),
+             "conv2": conv_nobias(next(keys), cd, cd, 1),
+             "bn2": C.init_batchnorm(cd)}
+            for _ in range(cfg.res_blocks)],
+        "conv_out": C.init_conv1d(next(keys), cd, cfg.res_out_dims, 1),
+    }
+    # Smoothing convs: (1, 1, 1, 2s+1) kernels initialised to a box filter
+    # 1/(2s+1) (model.py:80-81).
+    up_convs = [jnp.full((1, 1, 1, 2 * s + 1), 1.0 / (2 * s + 1), jnp.float32)
+                for s in cfg.upsample_factors]
+
+    return {
+        "upsample": {"resnet": resnet, "up_convs": up_convs},
+        "I": C.init_linear(next(keys), cfg.feat_dims + ad + 1, rd),
+        "rnn1": R.init_gru_layer(next(keys), rd, rd),
+        "rnn2": R.init_gru_layer(next(keys), rd + ad, rd),
+        "fc1": C.init_linear(next(keys), rd + ad, cfg.fc_dims),
+        "fc2": C.init_linear(next(keys), cfg.fc_dims + ad, cfg.fc_dims),
+        "fc3": C.init_linear(next(keys), cfg.fc_dims, cfg.n_classes),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Upsampler
+# ---------------------------------------------------------------------------
+
+
+def _mel_resnet(params: Params, m: jnp.ndarray, pad: int,
+                train: bool = False):
+    """(B, feat, F) -> (B, res_out, F - 2*pad); valid conv then 1x1 residual
+    blocks (model.py:34-51)."""
+    x = C.conv1d(params["conv_in"], m, padding=0)
+    x, bn_in = C.batchnorm1d(params["bn_in"], x, train=train)
+    x = jax.nn.relu(x)
+    new_blocks = []
+    for blk in params["blocks"]:
+        h = C.conv1d(blk["conv1"], x, padding=0)
+        h, bn1 = C.batchnorm1d(blk["bn1"], h, train=train)
+        h = jax.nn.relu(h)
+        h = C.conv1d(blk["conv2"], h, padding=0)
+        h, bn2 = C.batchnorm1d(blk["bn2"], h, train=train)
+        x = x + h
+        new_blocks.append(dict(blk, bn1=bn1, bn2=bn2))
+    x = C.conv1d(params["conv_out"], x, padding=0)
+    new_params = dict(params, bn_in=bn_in, blocks=new_blocks)
+    return x, new_params
+
+
+def _stretch_time(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Nearest-neighbour stretch along the last (time) axis."""
+    return jnp.repeat(x, scale, axis=-1)
+
+
+def upsample(params: Params, m: jnp.ndarray, cfg: WaveRNNConfig,
+             train: bool = False):
+    """Conditioning upsampler (model.py:67-92).
+
+    Args:
+      m: (B, feat_dims, F) mel (already pad-extended by the caller when
+         generating).
+    Returns: (mels (B, T, feat), aux (B, T, res_out), new_params) with
+    T = (F - 2*pad) * prod(upsample_factors).
+    """
+    aux, resnet_new = _mel_resnet(params["resnet"], m, cfg.pad, train=train)
+    aux = _stretch_time(aux, cfg.total_scale)
+
+    x = m[:, None]                                     # (B, 1, feat, F) NCHW
+    for w, s in zip(params["up_convs"], cfg.upsample_factors):
+        x = jnp.repeat(x, s, axis=-1)
+        x = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=[(0, 0), (s, s)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=C.CONV_PRECISION)
+    indent = cfg.pad * cfg.total_scale
+    mels = x[:, 0, :, indent:-indent]                  # (B, feat, T)
+    return (jnp.swapaxes(mels, 1, 2), jnp.swapaxes(aux, 1, 2),
+            dict(params, resnet=resnet_new))
+
+
+# ---------------------------------------------------------------------------
+# Teacher-forced forward (training)
+# ---------------------------------------------------------------------------
+
+
+def forward(params: Params, x: jnp.ndarray, mels: jnp.ndarray,
+            cfg: WaveRNNConfig, train: bool = False):
+    """Teacher-forced pass (model.py:175-211).
+
+    Args:
+      x: (B, T) previous samples; mels: (B, feat, F) with
+         T = (F - 2*pad) * total_scale.
+    Returns: (logits (B, T, n_classes), new_params).
+    """
+    cond, aux, up_new = upsample(params["upsample"], mels, cfg, train=train)
+    d = cfg.aux_dims
+    a1, a2, a3, a4 = (aux[..., i * d:(i + 1) * d] for i in range(4))
+
+    inp = jnp.concatenate([x[..., None], cond, a1], axis=-1)
+    xI = C.linear(params["I"], inp)
+    res = xI
+    h, _ = R.gru_layer(params["rnn1"], xI)
+    x1 = h + res
+    res = x1
+    h2, _ = R.gru_layer(params["rnn2"],
+                        jnp.concatenate([x1, a2], axis=-1))
+    x2 = h2 + res
+    x3 = jax.nn.relu(C.linear(params["fc1"],
+                              jnp.concatenate([x2, a3], axis=-1)))
+    x4 = jax.nn.relu(C.linear(params["fc2"],
+                              jnp.concatenate([x3, a4], axis=-1)))
+    logits = C.linear(params["fc3"], x4)
+    return logits, dict(params, upsample=up_new)
+
+
+def loss(params: Params, x_in: jnp.ndarray, y_target: jnp.ndarray,
+         mels: jnp.ndarray, cfg: WaveRNNConfig, train: bool = True):
+    """Vocoder training loss: MOL NLL (mode 'MOL') or cross-entropy over
+    quantised classes (mode 'RAW').  The reference ships no vocoder training
+    loop (SURVEY.md §2a #6) — this is the standard WaveRNN objective."""
+    logits, new_params = forward(params, x_in, mels, cfg, train=train)
+    if cfg.mode == "MOL":
+        l = MOL.discretized_mix_logistic_loss(logits, y_target[..., None])
+    else:
+        classes = jnp.clip(
+            ((y_target + 1.0) * (cfg.n_classes - 1) / 2.0 + 0.5).astype(
+                jnp.int32), 0, cfg.n_classes - 1)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        l = -jnp.mean(jnp.take_along_axis(logp, classes[..., None],
+                                          axis=-1))
+    return l, new_params
+
+
+# ---------------------------------------------------------------------------
+# Generation
+# ---------------------------------------------------------------------------
+
+
+def pad_mel(mel: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Zero-pad the mel time axis on both sides (model.py:346-356)."""
+    return jnp.pad(mel, ((0, 0), (0, 0), (pad, pad)))
+
+
+def fold_with_overlap(x: jnp.ndarray, target: int, overlap: int):
+    """(1, T, C) -> (num_folds, target + 2*overlap, C) (model.py:358-399)."""
+    _, total_len, features = x.shape
+    num_folds = (total_len - overlap) // (target + overlap)
+    extended = num_folds * (overlap + target) + overlap
+    remaining = total_len - extended
+    if remaining != 0:
+        num_folds += 1
+        padding = target + 2 * overlap - remaining
+        x = jnp.pad(x, ((0, 0), (0, padding), (0, 0)))
+    length = target + 2 * overlap
+    starts = [i * (target + overlap) for i in range(num_folds)]
+    return jnp.stack([
+        jax.lax.dynamic_slice(x[0], (s, 0), (length, features))
+        for s in starts])
+
+
+def xfade_and_unfold(y: np.ndarray, overlap: int) -> np.ndarray:
+    """Equal-power crossfade overlap-add of folded sample rows
+    (model.py:401-456).  Host-side numpy (cheap, one pass)."""
+    num_folds, length = y.shape
+    target = length - 2 * overlap
+    total_len = num_folds * (target + overlap) + overlap
+
+    silence_len = overlap // 2
+    fade_len = overlap - silence_len
+    t = np.linspace(-1, 1, fade_len, dtype=np.float64)
+    fade_in = np.concatenate([np.zeros(silence_len), np.sqrt(0.5 * (1 + t))])
+    fade_out = np.concatenate([np.ones(silence_len), np.sqrt(0.5 * (1 - t))])
+
+    y = y.astype(np.float64).copy()
+    y[:, :overlap] *= fade_in
+    y[:, -overlap:] *= fade_out
+
+    unfolded = np.zeros(total_len, dtype=np.float64)
+    for i in range(num_folds):
+        start = i * (target + overlap)
+        unfolded[start:start + length] += y[i]
+    return unfolded
+
+
+def decode_mu_law(y: np.ndarray, mu: int) -> np.ndarray:
+    """mu-law expansion (the reference leaves this NotImplemented,
+    model.py:315-317; provided here for RAW-mode parity with upstream
+    WaveRNN)."""
+    mu = mu - 1
+    return np.sign(y) / mu * ((1 + mu) ** np.abs(y) - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _generate_scan(params: Params, mels: jnp.ndarray, aux: jnp.ndarray,
+                   key, cfg: WaveRNNConfig):
+    """The autoregressive sampling loop as one ``lax.scan``.
+
+    Args:
+      mels: (B, T, feat) upsampled conditioning (already folded);
+      aux: (B, T, res_out).
+    Returns (B, T) samples in [-1, 1].
+    """
+    B, T, _ = mels.shape
+    rd = cfg.rnn_dims
+    d = cfg.aux_dims
+    a1, a2, a3, a4 = (aux[..., i * d:(i + 1) * d] for i in range(4))
+
+    # ---- hoisted time-parallel projections (big MXU matmuls) -------------
+    # I layer: input is [x, m_t, a1_t]; split off the x column.
+    wI = params["I"]["w"]                      # (rd, 1 + feat + aux)
+    bI = params["I"]["b"]
+    w_x = wI[:, 0]                             # (rd,)
+    w_rest = wI[:, 1:]                         # (rd, feat + aux)
+    pre_I = _dot(jnp.concatenate([mels, a1], axis=-1), w_rest.T) + bI
+
+    # GRU1 input is the I output -> nothing hoistable beyond pre_I.
+    # GRU2 input is [x1, a2]: split w_ih rows.
+    w_ih2 = params["rnn2"]["w_ih"]             # (rd + aux, 3*rd)
+    pre_r2 = _dot(a2, w_ih2[rd:]) + params["rnn2"]["b_ih"]
+    w_ih2x = w_ih2[:rd]
+
+    # fc1 input is [x2, a3]; fc2 input is [x3, a4]: split columns.
+    w_fc1 = params["fc1"]["w"]                 # (fc, rd + aux)
+    pre_f1 = _dot(a3, w_fc1[:, rd:].T) + params["fc1"]["b"]
+    w_fc1x = w_fc1[:, :rd]
+    w_fc2 = params["fc2"]["w"]
+    pre_f2 = _dot(a4, w_fc2[:, cfg.fc_dims:].T) + params["fc2"]["b"]
+    w_fc2x = w_fc2[:, :cfg.fc_dims]
+
+    rnn1 = params["rnn1"]
+    fc3 = params["fc3"]
+    n_classes = cfg.n_classes
+    raw_mode = cfg.mode == "RAW"
+
+    def step(carry, pre_t):
+        x, h1, h2, k = carry
+        pre_I_t, pre_r2_t, pre_f1_t, pre_f2_t = pre_t
+        k, sk = jax.random.split(k)
+
+        xI = x * w_x[None, :] + pre_I_t                       # (B, rd)
+        h1 = R.gru_cell(rnn1, _dot(xI, rnn1["w_ih"]) + rnn1["b_ih"], h1)
+        x1 = xI + h1
+        h2 = R.gru_cell({"w_hh": params["rnn2"]["w_hh"],
+                         "b_hh": params["rnn2"]["b_hh"]},
+                        _dot(x1, w_ih2x) + pre_r2_t, h2)
+        x2 = x1 + h2
+        x3 = jax.nn.relu(_dot(x2, w_fc1x.T) + pre_f1_t)
+        x4 = jax.nn.relu(_dot(x3, w_fc2x.T) + pre_f2_t)
+        logits = _dot(x4, fc3["w"].T) + fc3["b"]              # (B, classes)
+
+        if raw_mode:
+            sample = jax.random.categorical(sk, logits, axis=-1)
+            sample = 2.0 * sample.astype(jnp.float32) / (n_classes - 1.0) - 1.0
+        else:
+            sample = MOL.sample_from_discretized_mix_logistic(sk, logits)
+        return (sample[:, None], h1, h2, k), sample
+
+    init_carry = (jnp.zeros((B, 1), mels.dtype),
+                  jnp.zeros((B, rd), mels.dtype),
+                  jnp.zeros((B, rd), mels.dtype), key)
+    pres = tuple(jnp.swapaxes(p, 0, 1)
+                 for p in (pre_I, pre_r2, pre_f1, pre_f2))
+    _, samples = jax.lax.scan(step, init_carry, pres)
+    return jnp.swapaxes(samples, 0, 1)                        # (B, T)
+
+
+def generate(params: Params, mel: np.ndarray,
+             cfg: WaveRNNConfig = WaveRNNConfig(),
+             key=None, batched: bool | None = None,
+             target: int | None = None, overlap: int | None = None,
+             mu_law: bool | None = None) -> np.ndarray:
+    """Generate a waveform from a mel spectrogram (model.py:214-329).
+
+    Args:
+      mel: (1, feat, F) or (feat, F) conditioning mel.
+    Returns float32 waveform of length (F - 1) * hop_length.
+    """
+    g = cfg.generate
+    batched = g.batched if batched is None else batched
+    target = g.target if target is None else target
+    overlap = g.overlap if overlap is None else overlap
+    mu_law = (g.mu_law if mu_law is None else mu_law) and cfg.mode == "RAW"
+    if key is None:
+        key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+
+    mel = jnp.asarray(mel, jnp.float32)
+    if mel.ndim == 2:
+        mel = mel[None]
+    wave_len = (mel.shape[-1] - 1) * cfg.hop_length
+
+    cond, aux, _ = upsample(params["upsample"], pad_mel(mel, cfg.pad), cfg)
+    if batched:
+        cond = fold_with_overlap(cond, target, overlap)
+        aux = fold_with_overlap(aux, target, overlap)
+
+    samples = np.asarray(_generate_scan(params, cond, aux, key, cfg),
+                         dtype=np.float64)
+
+    if mu_law:
+        samples = decode_mu_law(samples, cfg.n_classes)
+
+    if batched:
+        output = xfade_and_unfold(samples, overlap)
+    else:
+        output = samples[0]
+
+    output = output[:wave_len]
+    fade_out = np.linspace(1, 0, 20 * cfg.hop_length)
+    output[-20 * cfg.hop_length:] *= fade_out[: len(output)]
+    return output.astype(np.float32)

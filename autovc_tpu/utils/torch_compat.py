@@ -81,3 +81,105 @@ def batchnorm_from_torch(sd, prefix: str):
 def conv_bn_from_torch(sd, conv_prefix: str, bn_prefix: str):
     return {"conv": conv1d_from_torch(sd, conv_prefix),
             "bn": batchnorm_from_torch(sd, bn_prefix)}
+
+
+# ---------------------------------------------------------------------------
+# Whole-model converters (reference state-dict name -> autovc_tpu pytree)
+# ---------------------------------------------------------------------------
+
+
+def autoencoder_from_torch(sd):
+    """Reference AutoEncoder ``model_state`` -> autovc_tpu pytree.
+
+    Module names follow auto_encoder/{encoder,decoder,postnet}.py:
+    ``encoder.convolutions.{i}.0.conv`` / ``.1`` (ConvNorm + BatchNorm1d),
+    ``encoder.lstm`` (2-layer BLSTM), ``decoder.lstm1/lstm2``,
+    ``decoder.linear_projection.linear_layer``, ``postnet.convolutions.*``.
+    """
+    enc = {
+        "convs": [conv_bn_from_torch(sd, f"encoder.convolutions.{i}.0.conv",
+                                     f"encoder.convolutions.{i}.1")
+                  for i in range(3)],
+        "blstm": bilstm_stack_from_torch(sd, "encoder.lstm", 2),
+    }
+    dec = {
+        "lstm1": lstm_stack_from_torch(sd, "decoder.lstm1", 1),
+        "convs": [conv_bn_from_torch(sd, f"decoder.convolutions.{i}.0.conv",
+                                     f"decoder.convolutions.{i}.1")
+                  for i in range(3)],
+        "lstm2": lstm_stack_from_torch(sd, "decoder.lstm2", 2),
+        "proj": linear_from_torch(sd, "decoder.linear_projection.linear_layer"),
+    }
+    post = {
+        "convs": [conv_bn_from_torch(sd, f"postnet.convolutions.{i}.0.conv",
+                                     f"postnet.convolutions.{i}.1")
+                  for i in range(5)],
+    }
+    return {"encoder": enc, "decoder": dec, "postnet": post}
+
+
+def speaker_encoder_from_torch(sd, num_layers: int = 3):
+    """Reference SpeakerEncoder ``model_state`` -> pytree.  The GE2E scaling
+    parameters are not registered on the reference module
+    (speaker_encoder/model.py:339-340) so they fall back to the fixed
+    initial values w=10, b=-5 when absent."""
+    return {
+        "lstm": lstm_stack_from_torch(sd, "lstm", num_layers),
+        "linear": linear_from_torch(sd, "linear"),
+        "similarity_weight": _np(sd.get("similarity_weight", 10.0)).reshape(()),
+        "similarity_bias": _np(sd.get("similarity_bias", -5.0)).reshape(()),
+    }
+
+
+def wavernn_from_torch(sd, res_blocks: int = 10, n_up_layers: int = 3):
+    """Reference WaveRNN ``state_dict`` -> pytree (wavernn/model.py:16-173).
+
+    The upsample ModuleList interleaves [stretch, conv] so the learned
+    smoothing convs sit at odd indices 1, 3, 5.
+    """
+    resnet = {
+        "conv_in": conv1d_from_torch(sd, "upsample.resnet.conv_in"),
+        "bn_in": batchnorm_from_torch(sd, "upsample.resnet.batch_norm"),
+        "blocks": [
+            {"conv1": conv1d_from_torch(sd, f"upsample.resnet.layers.{i}.conv1"),
+             "bn1": batchnorm_from_torch(sd,
+                                         f"upsample.resnet.layers.{i}.batch_norm1"),
+             "conv2": conv1d_from_torch(sd, f"upsample.resnet.layers.{i}.conv2"),
+             "bn2": batchnorm_from_torch(sd,
+                                         f"upsample.resnet.layers.{i}.batch_norm2")}
+            for i in range(res_blocks)],
+        "conv_out": conv1d_from_torch(sd, "upsample.resnet.conv_out"),
+    }
+    up_convs = [_np(sd[f"upsample.up_layers.{2 * i + 1}.weight"])
+                for i in range(n_up_layers)]
+    return {
+        "upsample": {"resnet": resnet, "up_convs": up_convs},
+        "I": linear_from_torch(sd, "I"),
+        "rnn1": gru_layer_from_torch(sd, "rnn1", 0),
+        "rnn2": gru_layer_from_torch(sd, "rnn2", 0),
+        "fc1": linear_from_torch(sd, "fc1"),
+        "fc2": linear_from_torch(sd, "fc2"),
+        "fc3": linear_from_torch(sd, "fc3"),
+    }
+
+
+def load_reference_checkpoint(path: str, model_type: str):
+    """Load a reference .pt checkpoint file and convert it.
+
+    Returns (pytree, extras) where extras carries ``step`` and, for the
+    speaker encoder, the embedded ``speakers`` registry
+    (speaker_encoder/model.py:106-114).
+    """
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if model_type == "vocoder":
+        return wavernn_from_torch(ckpt), {}
+    sd = ckpt["model_state"]
+    extras = {"step": ckpt.get("step")}
+    if model_type == "auto_encoder":
+        return autoencoder_from_torch(sd), extras
+    if model_type == "speaker_encoder":
+        extras["speakers"] = {k: _np(v) for k, v in
+                              ckpt.get("speakers", {}).items()}
+        return speaker_encoder_from_torch(sd), extras
+    raise ValueError(f"unknown model_type {model_type!r}")

@@ -1,0 +1,295 @@
+"""Forward-parity tests: autovc_tpu models vs torch mirror models after
+checkpoint conversion (the SURVEY.md §4 'model-parity' tier)."""
+import numpy as np
+import pytest
+import torch
+
+from autovc_tpu.config import (AutoEncoderConfig, SpeakerEncoderConfig,
+                               WaveRNNConfig)
+from autovc_tpu.models import autoencoder as AE
+from autovc_tpu.models import speaker_encoder as SE
+from autovc_tpu.models import wavernn as WR
+from autovc_tpu.utils import torch_compat as tc
+
+from torch_mirrors import (MirrorAutoVC, MirrorSpeakerEncoder, MirrorWaveRNN)
+
+torch.manual_seed(42)
+
+
+def _randomize_bn(module):
+    """Give BatchNorm layers non-trivial running stats so eval-mode parity
+    actually exercises the converted stats."""
+    for m in module.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            with torch.no_grad():
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+
+
+@pytest.fixture(scope="module")
+def ae_pair():
+    m = MirrorAutoVC()
+    _randomize_bn(m)
+    m.eval()
+    params = tc.autoencoder_from_torch(m.state_dict())
+    return m, params
+
+
+def test_autoencoder_forward_parity(ae_pair):
+    m, params = ae_pair
+    cfg = AutoEncoderConfig()
+    B, T = 2, 128  # divisible by freq
+    x = torch.rand(B, 80, T)
+    c_org = torch.randn(B, 256)
+    c_trg = torch.randn(B, 256)
+    with torch.no_grad():
+        mel_ref, post_ref, codes_ref = m(x, c_org, c_trg)
+    mel, post, codes, _ = AE.forward(params, np.asarray(x), np.asarray(c_org),
+                                     np.asarray(c_trg), cfg)
+    np.testing.assert_allclose(np.asarray(mel), mel_ref.numpy(), rtol=1e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(post), post_ref.numpy(), rtol=1e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(codes), codes_ref.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_autoencoder_ragged_time_parity(ae_pair):
+    # T = 100 exercises the tail-expansion upsampling (model.py:115-119):
+    # forward codes at 31, 63, 95 (x3 + tail 4), backward at 0..96 (truncate).
+    m, params = ae_pair
+    cfg = AutoEncoderConfig()
+    x = torch.rand(1, 80, 100)
+    c = torch.randn(1, 256)
+    with torch.no_grad():
+        mel_ref, post_ref, codes_ref = m(x, c, c)
+    mel, post, codes, _ = AE.forward(params, np.asarray(x), np.asarray(c),
+                                     np.asarray(c), cfg)
+    assert codes.shape == codes_ref.shape
+    np.testing.assert_allclose(np.asarray(post), post_ref.numpy(), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_autoencoder_content_codes_parity(ae_pair):
+    m, params = ae_pair
+    cfg = AutoEncoderConfig()
+    x = torch.rand(2, 80, 96)
+    c = torch.randn(2, 256)
+    with torch.no_grad():
+        codes_ref = m(x, c, None)
+    codes, _ = AE.content_codes(params, np.asarray(x), np.asarray(c), cfg)
+    np.testing.assert_allclose(np.asarray(codes), codes_ref.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_autoencoder_batch_forward_merge(ae_pair):
+    # The chunk-merge must equal the reference nanmean overlap-add: verify
+    # against a direct numpy nan-padding implementation of the same merge.
+    _, params = ae_pair
+    cfg = AutoEncoderConfig()
+    M, N = 3, 64
+    rng = np.random.default_rng(0)
+    chunks = rng.random((M, 80, N), dtype=np.float32)
+    c = rng.standard_normal((1, 256), dtype=np.float32)
+    merged = np.asarray(AE.batch_forward(params, chunks, c, c, cfg,
+                                         overlap=0.5))
+    # independent merge of the same per-chunk outputs
+    _, post, _, _ = AE.forward(params, chunks, np.repeat(c, M, 0),
+                               np.repeat(c, M, 0), cfg)
+    post = np.asarray(post)
+    step = N // 2
+    total = N + (M - 1) * step
+    stack = np.full((M, 80, total), np.nan)
+    for i in range(M):
+        stack[i, :, i * step: i * step + N] = post[i]
+    expected = np.nanmean(stack, axis=0)
+    np.testing.assert_allclose(merged, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_speaker_encoder_forward_parity():
+    m = MirrorSpeakerEncoder()
+    m.eval()
+    params = tc.speaker_encoder_from_torch(m.state_dict())
+    x = torch.randn(4, 160, 40)
+    with torch.no_grad():
+        ref = m(x)
+    out = np.asarray(SE.forward(params, np.asarray(x)))
+    np.testing.assert_allclose(out, ref.numpy(), rtol=1e-4, atol=1e-5)
+    # embeddings are L2-normalised
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
+
+
+def test_ge2e_loss_reference_semantics():
+    # Hand-check the similarity matrix on a tiny example against a direct
+    # loop implementation of GE2E section 2.1.
+    key_params = {"similarity_weight": np.float32(10.0),
+                  "similarity_bias": np.float32(-5.0)}
+    rng = np.random.default_rng(1)
+    S, U, E = 3, 4, 8
+    embeds = rng.standard_normal((S, U, E)).astype(np.float32)
+    embeds /= np.linalg.norm(embeds, axis=-1, keepdims=True)
+    sim = np.asarray(SE.similarity_matrix(key_params, embeds))
+
+    cent_incl = embeds.mean(1)
+    cent_incl /= np.linalg.norm(cent_incl, axis=-1, keepdims=True)
+    for j in range(S):
+        for u in range(U):
+            for k in range(S):
+                if k == j:
+                    excl = (embeds[j].sum(0) - embeds[j, u]) / (U - 1)
+                    excl /= np.linalg.norm(excl)
+                    expected = embeds[j, u] @ excl
+                else:
+                    expected = embeds[j, u] @ cent_incl[k]
+                expected = expected * 10.0 - 5.0
+                assert sim[j, u, k] == pytest.approx(expected, rel=1e-4), \
+                    (j, u, k)
+
+    # Loss equals manual cross-entropy.
+    loss = float(SE.ge2e_loss(key_params, embeds))
+    flat = sim.reshape(S * U, S)
+    tgt = np.repeat(np.arange(S), U)
+    logp = flat - np.log(np.exp(flat).sum(-1, keepdims=True))
+    np.testing.assert_allclose(loss, -logp[np.arange(S * U), tgt].mean(),
+                               rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def wavernn_pair():
+    m = MirrorWaveRNN()
+    _randomize_bn(m)
+    m.eval()
+    params = tc.wavernn_from_torch(m.state_dict())
+    return m, params
+
+
+def test_wavernn_upsample_parity(wavernn_pair):
+    m, params = wavernn_pair
+    cfg = WaveRNNConfig()
+    mel = torch.rand(1, 80, 20)
+    with torch.no_grad():
+        cond_ref, aux_ref = m.upsample(mel)
+    cond, aux, _ = WR.upsample(params["upsample"], np.asarray(mel), cfg)
+    assert cond.shape == tuple(cond_ref.shape)
+    np.testing.assert_allclose(np.asarray(cond), cond_ref.numpy(), rtol=1e-3,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(aux), aux_ref.numpy(), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_wavernn_forward_parity(wavernn_pair):
+    m, params = wavernn_pair
+    cfg = WaveRNNConfig()
+    F_frames = 12
+    T = (F_frames - 2 * cfg.pad) * cfg.total_scale
+    mel = torch.rand(2, 80, F_frames)
+    x = torch.rand(2, T) * 2 - 1
+    with torch.no_grad():
+        ref = m(x, mel)
+    logits, _ = WR.forward(params, np.asarray(x), np.asarray(mel), cfg)
+    np.testing.assert_allclose(np.asarray(logits), ref.numpy(), rtol=2e-3,
+                               atol=2e-4)
+
+
+def test_fold_with_overlap_geometry():
+    # target=2, overlap=1, T=10 -> reference docstring example
+    # (wavernn/model.py:370-375).
+    x = np.arange(10, dtype=np.float32).reshape(1, 10, 1)
+    folded = np.asarray(WR.fold_with_overlap(x, 2, 1))
+    assert folded.shape == (3, 4, 1)
+    np.testing.assert_array_equal(folded[:, :, 0],
+                                  [[0, 1, 2, 3], [3, 4, 5, 6], [6, 7, 8, 9]])
+
+
+def test_xfade_and_unfold_reconstructs_constant():
+    # Crossfading folds of a constant signal must reproduce the constant
+    # (equal-power fades sum to 1 in power; with silence+linear head the
+    # interior is exactly 1 by construction).
+    target, overlap = 64, 16
+    folds = WR.fold_with_overlap(
+        np.ones((1, 200, 1), np.float32), target, overlap)
+    y = np.asarray(folds)[:, :, 0].astype(np.float64)
+    out = WR.xfade_and_unfold(y, overlap)
+    # skip the fade-in head and padded tail
+    interior = out[overlap: 200 - (target + 2 * overlap)]
+    np.testing.assert_allclose(interior, 1.0, atol=0.5)
+    assert np.all(out[: overlap // 2] == 0)  # silence head
+
+
+def test_mol_loss_matches_torch_reference():
+    # Cross-check the MOL NLL against an independent torch implementation
+    # built from the same published formula.
+    from autovc_tpu.ops import mol as MOLops
+    rng = np.random.default_rng(2)
+    B, T, nr_mix = 2, 50, 10
+    y_hat = rng.standard_normal((B, T, 3 * nr_mix)).astype(np.float32)
+    y = (rng.random((B, T, 1)).astype(np.float32) * 2 - 1)
+
+    ours = float(MOLops.discretized_mix_logistic_loss(y_hat, y))
+
+    yh = torch.tensor(y_hat)
+    yt = torch.tensor(y)
+    logit, mean, logs = yh.split(nr_mix, dim=-1)
+    logs = logs.clamp(min=float(np.log(1e-14)))
+    c = yt - mean
+    inv = torch.exp(-logs)
+    half = 1.0 / 65535
+    cdf_p = torch.sigmoid(inv * (c + half))
+    cdf_m = torch.sigmoid(inv * (c - half))
+    lp_edge_lo = inv * (c + half) - torch.nn.functional.softplus(inv * (c + half))
+    lp_edge_hi = -torch.nn.functional.softplus(inv * (c - half))
+    delta = cdf_p - cdf_m
+    mid = inv * c
+    lp_mid = mid - logs - 2 * torch.nn.functional.softplus(mid)
+    inner = torch.where(delta > 1e-5,
+                        torch.log(torch.clamp(delta, min=1e-12)),
+                        lp_mid - np.log(65535 / 2))
+    inner = torch.where(yt > 0.999, lp_edge_hi, inner)
+    lp = torch.where(yt < -0.999, lp_edge_lo, inner)
+    lp = lp + torch.log_softmax(logit, dim=-1)
+    ref = -torch.logsumexp(lp, dim=-1).mean()
+    assert ours == pytest.approx(float(ref), rel=1e-4)
+
+
+def test_mol_sampler_statistics():
+    # Sampling from a single sharp logistic must concentrate on its mean.
+    import jax
+    from autovc_tpu.ops import mol as MOLops
+    nr_mix = 10
+    y = np.full((4096, 3 * nr_mix), -1e9, np.float32)
+    y[:, 0] = 0.0            # only mixture 0 active
+    y[:, nr_mix] = 0.3       # mean
+    y[:, 2 * nr_mix] = -4.0  # log scale -> std ~ pi/sqrt(3)*e^-4 ~ 0.033
+    s = np.asarray(MOLops.sample_from_discretized_mix_logistic(
+        jax.random.PRNGKey(0), y))
+    assert abs(s.mean() - 0.3) < 0.01
+    assert 0.01 < s.std() < 0.06
+    assert np.all(s >= -1) and np.all(s <= 1)
+
+
+def test_generate_produces_audio(wavernn_pair):
+    import jax
+    _, params = wavernn_pair
+    cfg = WaveRNNConfig()
+    F_frames = 24
+    mel = np.random.default_rng(3).random((1, 80, F_frames),
+                                          dtype=np.float32)
+    wav = WR.generate(params, mel, cfg, key=jax.random.PRNGKey(0),
+                      batched=True, target=2200, overlap=550)
+    assert wav.shape == ((F_frames - 1) * cfg.hop_length,)
+    assert wav.dtype == np.float32
+    assert np.all(np.isfinite(wav))
+    assert np.abs(wav).max() <= 1.0
+    # the final fade-out must end at ~0
+    assert abs(wav[-1]) < 1e-3
+
+
+def test_generate_unbatched_matches_length(wavernn_pair):
+    import jax
+    _, params = wavernn_pair
+    cfg = WaveRNNConfig()
+    mel = np.random.default_rng(4).random((1, 80, 8), dtype=np.float32)
+    wav = WR.generate(params, mel, cfg, key=jax.random.PRNGKey(1),
+                      batched=False)
+    assert wav.shape == (7 * cfg.hop_length,)
+    assert np.all(np.isfinite(wav))
