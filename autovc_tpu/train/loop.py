@@ -1,0 +1,266 @@
+"""Training loops: jitted steps + EMA + checkpointing + metrics.
+
+Re-designs the reference training loops (auto_encoder/model.py:218-361,
+speaker_encoder/model.py:276-408) as pure jitted step functions over pytrees:
+
+  * one compile per batch shape (datasets emit static shapes);
+  * EMA runs on the params pytree (the reference EMAs a flattened copy it
+    never saves, model.py:321,379-392 — here the EMA rides in the checkpoint);
+  * GE2E gradient treatment matches the reference: similarity weight/bias
+    grads scaled by 0.01, global-norm clip 3 (speaker_encoder/model.py:62-68);
+  * checkpoints save params + EMA + optimizer state + step, and resume is
+    exact (the reference saves opt state but never restores it).
+
+The data-parallel variants of these steps live in
+:mod:`autovc_tpu.parallel.steps`.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from autovc_tpu.config import (AutoEncoderConfig, SpeakerEncoderConfig,
+                               WaveRNNConfig)
+from autovc_tpu.train import schedules
+from autovc_tpu.utils import progbar, close_progbar
+
+
+def ema_update(ema, params, decay: float):
+    return jax.tree_util.tree_map(
+        lambda e, p: decay * e + (1.0 - decay) * p, ema, params)
+
+
+# ---------------------------------------------------------------------------
+# AutoEncoder
+# ---------------------------------------------------------------------------
+
+
+def make_ae_step(cfg: AutoEncoderConfig, tx: optax.GradientTransformation,
+                 ema_decay: float, axis_name: str | None = None) -> Callable:
+    from autovc_tpu.models import autoencoder as AE
+
+    def step(params, opt_state, ema, x, c_org):
+        (loss_val, (aux, params_bn)), grads = jax.value_and_grad(
+            AE.loss, has_aux=True)(params, x, c_org, cfg,
+                                   axis_name=axis_name)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        updates, opt_state = tx.update(grads, opt_state, params_bn)
+        # BN running stats changed inside the forward; apply the optimizer on
+        # top of the stat-updated tree (their grads are zero).
+        new_params = optax.apply_updates(params_bn, updates)
+        ema = ema_update(ema, new_params, ema_decay)
+        return new_params, opt_state, ema, aux
+
+    return jax.jit(step) if axis_name is None else step
+
+
+def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
+                      n_epochs: int | None = None,
+                      batch_size: int | None = None,
+                      log_freq: int | None = None,
+                      save_freq: int | None = None,
+                      model_name: str | None = None,
+                      save_dir: str | None = None,
+                      ema_decay: float | None = None,
+                      logger=None, verbose: bool = True,
+                      on_epoch_end: Callable | None = None,
+                      start_step: int = 0,
+                      opt_overrides: Dict[str, Any] | None = None):
+    """AutoVC training (auto_encoder/model.py:218-361).  Returns
+    (params, ema_params, info-dict)."""
+    lc, oc = cfg.learn, cfg.optimizer
+    if opt_overrides:
+        oc = oc.with_overrides(**opt_overrides)
+    n_epochs = n_epochs if n_epochs is not None else lc.n_epochs
+    batch_size = batch_size if batch_size is not None else lc.batch_size
+    log_freq = log_freq if log_freq is not None else lc.log_freq
+    save_freq = save_freq if save_freq is not None else lc.save_freq
+    ema_decay = ema_decay if ema_decay is not None else lc.ema_decay
+    model_name = model_name or lc.model_name
+    save_dir = save_dir or lc.save_dir
+
+    steps_per_epoch = dataset.epoch_steps(batch_size)
+    tx = schedules.make_optimizer(oc, steps_per_epoch, dim_model=80)
+    opt_state = tx.init(params)
+    ema = jax.tree_util.tree_map(jnp.asarray, params)
+    step_fn = make_ae_step(cfg, tx, ema_decay)
+
+    n_total = n_epochs * steps_per_epoch
+    step = start_step
+    running, log_steps, t_start = 0.0, 0, time.time()
+    for epoch in range(1, n_epochs + 1):
+        for x, c in dataset.batches(batch_size, shuffle=True, seed=epoch):
+            params, opt_state, ema, aux = step_fn(params, opt_state, ema,
+                                                  x, c)
+            step += 1
+            running += float(aux["loss"])
+            log_steps += 1
+            if verbose:
+                progbar(step - start_step, n_total, {
+                    "sec/step": round((time.time() - t_start)
+                                      / (step - start_step), 2)})
+            if logger is not None and (step % log_freq == 0
+                                       or step - start_step == n_total):
+                logger.log({"loss": running / max(log_steps, 1),
+                            "loss_recon": float(aux["loss_recon"]),
+                            "loss_content": float(aux["loss_content"]),
+                            "epoch": epoch, "step": step}, step=step)
+                running, log_steps = 0.0, 0
+        if (epoch % save_freq == 0 or epoch == n_epochs) and model_name:
+            from autovc_tpu.utils.checkpoint import save_checkpoint
+            save_checkpoint(f"{save_dir.rstrip('/')}/{model_name}",
+                            {"step": step, "params": params,
+                             "ema_params": ema, "opt_state": opt_state})
+        if on_epoch_end is not None:
+            on_epoch_end(epoch, params)
+    if verbose:
+        close_progbar()
+    return params, ema, {"step": step, "opt_state": opt_state}
+
+
+# ---------------------------------------------------------------------------
+# Speaker encoder (GE2E)
+# ---------------------------------------------------------------------------
+
+
+def make_se_step(cfg: SpeakerEncoderConfig,
+                 tx: optax.GradientTransformation,
+                 axis_name: str | None = None) -> Callable:
+    from autovc_tpu.models import speaker_encoder as SE
+
+    def step(params, opt_state, batch):
+        loss_val, grads = jax.value_and_grad(SE.batch_ge2e_loss)(params,
+                                                                 batch)
+        # similarity weight/bias gradient scaling (model.py:62-65).
+        grads = dict(grads,
+                     similarity_weight=grads["similarity_weight"] * 0.01,
+                     similarity_bias=grads["similarity_bias"] * 0.01)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss_val = jax.lax.pmean(loss_val, axis_name)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss_val
+
+    return jax.jit(step) if axis_name is None else step
+
+
+def train_speaker_encoder(params, dataset, cfg: SpeakerEncoderConfig,
+                          n_epochs: int | None = None,
+                          utterances_per_speaker: int = 8,
+                          steps_per_epoch: int = 8,
+                          log_freq: int | None = None,
+                          save_freq: int | None = None,
+                          model_name: str | None = None,
+                          save_dir: str | None = None,
+                          logger=None, verbose: bool = True,
+                          speakers: Dict[str, np.ndarray] | None = None,
+                          start_step: int = 0,
+                          opt_overrides: Dict[str, Any] | None = None):
+    """GE2E training (speaker_encoder/model.py:276-408)."""
+    lc, oc = cfg.learn, cfg.optimizer
+    if opt_overrides:
+        oc = oc.with_overrides(**opt_overrides)
+    n_epochs = n_epochs if n_epochs is not None else lc.n_epochs
+    log_freq = log_freq if log_freq is not None else lc.log_freq
+    save_freq = save_freq if save_freq is not None else lc.save_freq
+    model_name = model_name or lc.model_name
+    save_dir = save_dir or lc.save_dir
+
+    tx = schedules.make_optimizer(oc, steps_per_epoch,
+                                  dim_model=cfg.embedding_size)
+    opt_state = tx.init(params)
+    step_fn = make_se_step(cfg, tx)
+
+    n_total = n_epochs * steps_per_epoch
+    step = start_step
+    t_start = time.time()
+    for epoch in range(1, n_epochs + 1):
+        for batch in dataset.batches(utterances_per_speaker,
+                                     n_batches=steps_per_epoch, seed=epoch):
+            params, opt_state, loss_val = step_fn(params, opt_state, batch)
+            step += 1
+            if verbose:
+                progbar(step - start_step, n_total,
+                        {"loss": round(float(loss_val), 4)})
+            if logger is not None and step % log_freq == 0:
+                logger.log({"loss": float(loss_val), "epoch": epoch,
+                            "step": step}, step=step)
+        if (epoch % save_freq == 0 or epoch == n_epochs) and model_name:
+            from autovc_tpu.utils.checkpoint import save_checkpoint
+            save_checkpoint(f"{save_dir.rstrip('/')}/{model_name}",
+                            {"step": step, "params": params,
+                             "speakers": speakers or {},
+                             "opt_state": opt_state})
+    if verbose:
+        close_progbar()
+    return params, {"step": step, "opt_state": opt_state}
+
+
+# ---------------------------------------------------------------------------
+# Vocoder (WaveRNN) — capability the reference lacks
+# ---------------------------------------------------------------------------
+
+
+def make_vocoder_step(cfg: WaveRNNConfig, tx: optax.GradientTransformation,
+                      axis_name: str | None = None) -> Callable:
+    from autovc_tpu.models import wavernn as WR
+
+    def step(params, opt_state, x_in, y, mels):
+        def loss_fn(p):
+            l, new_p = WR.loss(p, x_in, y, mels, cfg, train=True)
+            return l, new_p
+
+        (loss_val, params_bn), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss_val = jax.lax.pmean(loss_val, axis_name)
+        updates, opt_state = tx.update(grads, opt_state, params_bn)
+        return optax.apply_updates(params_bn, updates), opt_state, loss_val
+
+    return jax.jit(step) if axis_name is None else step
+
+
+def train_vocoder(params, dataset, cfg: WaveRNNConfig,
+                  n_epochs: int = 1, batch_size: int = 8,
+                  steps_per_epoch: int = 50, seq_frames: int = 9,
+                  lr: float = 1e-4, log_freq: int = 10,
+                  model_name: str | None = None,
+                  save_dir: str | None = None, logger=None,
+                  verbose: bool = True, start_step: int = 0):
+    from autovc_tpu.config import OptimizerConfig
+    oc = OptimizerConfig(lr=lr, lr_scheduler="constant", grad_clip_norm=4.0)
+    tx = schedules.make_optimizer(oc, steps_per_epoch)
+    opt_state = tx.init(params)
+    step_fn = make_vocoder_step(cfg, tx)
+    step = start_step
+    n_total = n_epochs * steps_per_epoch
+    for epoch in range(1, n_epochs + 1):
+        for x_in, y, mels in dataset.batches(batch_size, seq_frames,
+                                             n_batches=steps_per_epoch,
+                                             seed=epoch):
+            params, opt_state, loss_val = step_fn(params, opt_state, x_in,
+                                                  y, mels)
+            step += 1
+            if verbose:
+                progbar(step - start_step, n_total,
+                        {"loss": round(float(loss_val), 4)})
+            if logger is not None and step % log_freq == 0:
+                logger.log({"loss": float(loss_val), "epoch": epoch,
+                            "step": step}, step=step)
+        if model_name:
+            from autovc_tpu.utils.checkpoint import save_checkpoint
+            save_checkpoint(f"{(save_dir or cfg.model_dir).rstrip('/')}/"
+                            f"{model_name}",
+                            {"step": step, "params": params,
+                             "opt_state": opt_state})
+    if verbose:
+        close_progbar()
+    return params, {"step": step, "opt_state": opt_state}

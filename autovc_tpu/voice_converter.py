@@ -1,0 +1,295 @@
+"""VoiceConverter — the user-facing orchestrator (L5).
+
+Re-design of ``autovc/voice_converter.py:18-498``: owns the three models
+(auto-encoder, speaker encoder, vocoder), an immutable merged config, and a
+metrics logger.  Public surface mirrors the reference: ``convert``,
+``convert_multiple``, ``train``, ``learn_speakers``, ``setup_logging``
+(wandb-compatible), ``close``.
+
+Deliberate fixes over the reference (SURVEY.md §2a behaviour quirks):
+  * the source embedding comes from the actual source utterance, not a
+    hard-coded ``speakers['hilde']`` (voice_converter.py:145-147);
+  * utterances are resampled to the speaker encoder's own sample rate before
+    embedding (the reference embeds 22 kHz audio with 16 kHz mel params);
+  * ``convert_multiple(bidirectional=True)`` recurses with the full target
+    list (the reference recursed with the last loop variable,
+    voice_converter.py:396).
+"""
+from __future__ import annotations
+
+import os
+import time
+from itertools import product
+from typing import Any, Dict
+
+import numpy as np
+
+from autovc_tpu.audio import Audio, dsp, io
+from autovc_tpu.config import ConverterConfig
+from autovc_tpu.models import LoadedModel, load_model, save_model
+from autovc_tpu.utils import retrieve_file_paths
+from autovc_tpu.utils.logging import MetricsLogger
+
+
+class VoiceConverter:
+    def __init__(self,
+                 auto_encoder: str | None = None,
+                 speaker_encoder: str | None = None,
+                 vocoder: str | None = None,
+                 config: ConverterConfig | None = None,
+                 auto_encoder_params: Dict[str, Any] | None = None,
+                 speaker_encoder_params: Dict[str, Any] | None = None,
+                 vocoder_params: Dict[str, Any] | None = None,
+                 wandb_params: Dict[str, Any] | None = None,
+                 verbose: bool = True):
+        """Build a converter from checkpoint names/paths + config overrides.
+
+        Unlike the reference (which mutates module-level dicts in place,
+        voice_converter.py:67-70), overrides merge into an immutable config.
+        """
+        cfg = config or ConverterConfig()
+        if auto_encoder_params:
+            cfg = cfg.with_overrides(auto_encoder=auto_encoder_params)
+        if speaker_encoder_params:
+            cfg = cfg.with_overrides(speaker_encoder=speaker_encoder_params)
+        if vocoder_params:
+            cfg = cfg.with_overrides(vocoder=vocoder_params)
+        if wandb_params:
+            cfg = cfg.with_overrides(wandb=wandb_params)
+        self.config = cfg
+        self.verbose = verbose
+        self.logger: MetricsLogger | None = None
+
+        self.AE = load_model("auto_encoder", auto_encoder,
+                             cfg.auto_encoder.model_dir, cfg.auto_encoder,
+                             verbose=verbose)
+        self.SE = load_model("speaker_encoder", speaker_encoder,
+                             cfg.speaker_encoder.model_dir,
+                             cfg.speaker_encoder, verbose=verbose)
+        self.vocoder = load_model("vocoder", vocoder, cfg.vocoder.model_dir,
+                                  cfg.vocoder, verbose=verbose)
+
+    # ------------------------------------------------------------------
+    # Embedding helpers
+    # ------------------------------------------------------------------
+
+    @property
+    def speakers(self) -> Dict[str, np.ndarray]:
+        """Mean-speaker embedding registry (rides in the SE checkpoint)."""
+        return self.SE.speakers
+
+    def _embed(self, audio: Audio) -> np.ndarray:
+        """d-vector of an utterance, at the SE's native sample rate."""
+        from autovc_tpu.models import speaker_encoder as SEm
+        wav = audio.wav
+        if audio.sr != self.SE.config.spectrogram.sr:
+            wav = io.resample(wav, audio.sr, self.SE.config.spectrogram.sr)
+        return SEm.embed_utterance(self.SE.params, wav, self.SE.config)
+
+    def _speaker_embedding(self, target, preprocess, preprocess_args,
+                           sr) -> np.ndarray:
+        """Registry lookup by name, else embed the utterance file."""
+        if isinstance(target, str) and target in self.speakers:
+            return np.asarray(self.speakers[target])
+        audio = Audio(target, sr) if isinstance(target, str) else target
+        audio.preprocess(*preprocess, **preprocess_args)
+        return self._embed(audio)
+
+    # ------------------------------------------------------------------
+    # Conversion
+    # ------------------------------------------------------------------
+
+    def convert(self, source, target, sr: int | None = None,
+                save_name=None, save_dir=None,
+                preprocess=None, preprocess_args=None,
+                outprocess=None, outprocess_args=None,
+                cut: bool = True, overlap: float = 0.5,
+                audio_log_dict: Dict[str, Any] | None = None,
+                seed: int = 0, **mel_kwargs):
+        """Convert the content of ``source`` into the voice of ``target``.
+
+        Mirrors voice_converter.py:88-211.  ``target`` may be a wav path or a
+        learned mean-speaker name.  ``save_name=False`` skips saving;
+        ``save_dir='wandb'`` logs the audio to the active run.
+        Returns the converted :class:`Audio`.
+        """
+        import jax
+
+        from autovc_tpu.models import autoencoder as AEm
+        from autovc_tpu.models import wavernn as WRm
+
+        cc = self.config.convert
+        sr = sr or cc.sr
+        preprocess = cc.preprocess if preprocess is None else preprocess
+        preprocess_args = dict(cc.preprocess_args if preprocess_args is None
+                               else preprocess_args)
+        outprocess = cc.outprocess if outprocess is None else outprocess
+        outprocess_args = dict(cc.outprocess_args if outprocess_args is None
+                               else outprocess_args)
+
+        if self.verbose:
+            print(f"Converting '{source}' -> '{target}'...")
+        t0 = time.time()
+
+        audio_src = Audio(source, sr) if isinstance(source, str) else source
+        audio_src.preprocess(*preprocess, **preprocess_args)
+
+        c_source = self._embed(audio_src)[None]
+        c_target = self._speaker_embedding(target, preprocess,
+                                           preprocess_args, sr)[None]
+
+        ae_cfg = self.AE.config
+        mel_cfg = ae_cfg.spectrogram
+        if cut:
+            chunks, _ = dsp.mel_spec_auto_encoder_sliced(
+                audio_src.wav, mel_cfg, overlap=overlap)
+            post_mel = np.asarray(AEm.batch_forward(
+                self.AE.params, chunks, c_source, c_target, ae_cfg,
+                overlap=overlap))
+        else:
+            mel = dsp.mel_spec_auto_encoder(audio_src.wav, mel_cfg)
+            _, post, _, _ = AEm.forward(self.AE.params, mel[None], c_source,
+                                        c_target, ae_cfg)
+            post_mel = np.asarray(post[0])
+
+        waveform = WRm.generate(self.vocoder.params, post_mel[None],
+                                self.vocoder.config,
+                                key=jax.random.PRNGKey(seed))
+
+        audio_out = Audio(waveform, sr=sr, sr_org=mel_cfg.sr)
+        audio_out.preprocess(*outprocess, **outprocess_args)
+        if self.verbose:
+            dur = len(audio_out.wav) / audio_out.sr
+            dt = time.time() - t0
+            print(f"  {dur:.2f}s audio in {dt:.2f}s "
+                  f"({dur / dt:.2f}x realtime)")
+
+        if save_name is False:
+            return audio_out
+
+        if save_name is None:
+            src_name = (os.path.splitext(os.path.basename(source))[0]
+                        if isinstance(source, str) else "source")
+            trg_name = (os.path.splitext(os.path.basename(str(target)))[0])
+            save_name = f"{src_name}_to_{trg_name}.wav"
+
+        if save_dir == "wandb":
+            assert self.logger is not None, \
+                "setup_logging() must run before save_dir='wandb'"
+            self.logger.log_audio(save_name.replace(".wav", ""),
+                                  audio_out.wav, audio_out.sr,
+                                  caption=save_name)
+            if audio_log_dict:
+                self.logger.log(audio_log_dict)
+        else:
+            if save_dir is not None:
+                save_dir = (save_dir if save_dir.startswith("results")
+                            else os.path.join("results", save_dir))
+            else:
+                save_dir = "results"
+            os.makedirs(save_dir, exist_ok=True)
+            out_path = os.path.join(save_dir, save_name)
+            audio_out.save(out_path)
+            if self.verbose:
+                print(f"  saved '{out_path}'")
+        return audio_out
+
+    def convert_multiple(self, sources, targets,
+                         match_method: str = "all_combinations",
+                         bidirectional: bool = False, **convert_params):
+        """Batch conversion (voice_converter.py:346-398): 'all_combinations'
+        crosses every source with every target; 'align' zips them."""
+        sources = retrieve_file_paths(sources)
+        target_args = [targets] if isinstance(targets, str) else list(targets)
+        resolved = []
+        for t in target_args:
+            if t in self.speakers:
+                assert not bidirectional, \
+                    "bidirectional conversion cannot source from a mean " \
+                    "speaker embedding"
+                resolved.append(t)
+            else:
+                resolved.extend(retrieve_file_paths(t))
+
+        if match_method == "align":
+            assert len(sources) == len(resolved)
+            matches = list(zip(sources, resolved))
+        elif match_method == "all_combinations":
+            matches = list(product(sources, resolved))
+        else:
+            raise ValueError(f"unknown match_method {match_method!r}")
+
+        audio_objects = [self.convert(s, t, **convert_params)
+                         for s, t in matches]
+        if bidirectional:
+            audio_objects.extend(self.convert_multiple(
+                resolved, sources, match_method, **convert_params))
+        return audio_objects
+
+    # ------------------------------------------------------------------
+    # Training / speaker registry
+    # ------------------------------------------------------------------
+
+    def learn_speakers(self, mean_speaker_path,
+                       mean_speaker_path_excluded=()):
+        """Learn mean speaker embeddings (voice_converter.py:400-414).
+
+        ``mean_speaker_path``: dict name -> path, or list of 'name=path'
+        strings.
+        """
+        from autovc_tpu.models import speaker_encoder as SEm
+        if not isinstance(mean_speaker_path, dict):
+            try:
+                mean_speaker_path = {
+                    k.strip(): v.strip()
+                    for k, v in (arg.split("=") for arg in mean_speaker_path)}
+            except Exception as e:
+                raise ValueError(
+                    "mean_speaker_path must be a dict or list of 'name=path' "
+                    "strings") from e
+        for speaker, path in mean_speaker_path.items():
+            files = retrieve_file_paths(path,
+                                        list(mean_speaker_path_excluded))
+            if self.verbose:
+                print(f"Learning mean embedding for '{speaker}' "
+                      f"({len(files)} files)...")
+            self.speakers[speaker] = SEm.learn_speaker(
+                self.SE.params, files, self.SE.config)
+        return self.speakers
+
+    def train(self, data_path, model_type: str = "auto_encoder", **kwargs):
+        """Train one of the models (voice_converter.py:213-298).  Delegates
+        to :mod:`autovc_tpu.train`."""
+        from autovc_tpu import train as train_mod
+        if model_type not in ("auto_encoder", "speaker_encoder", "vocoder"):
+            raise ValueError(f"'{model_type}' is not a supported model_type")
+        self.setup_logging()
+        return train_mod.train_model(self, model_type, data_path, **kwargs)
+
+    # ------------------------------------------------------------------
+    # Logging / persistence
+    # ------------------------------------------------------------------
+
+    def setup_logging(self, **params) -> MetricsLogger:
+        if self.logger is None:
+            self.logger = MetricsLogger(
+                self.config.wandb,
+                run_config={"config": "autovc_tpu"}, **params)
+        return self.logger
+
+    # reference name (voice_converter.py:418) kept as an alias
+    setup_wandb = setup_logging
+
+    def save(self, model_type: str, model_name: str, save_dir=None) -> str:
+        model: LoadedModel = {"auto_encoder": self.AE,
+                              "speaker_encoder": self.SE,
+                              "vocoder": self.vocoder}[model_type]
+        path = save_model(model, model_name, save_dir)
+        if self.logger is not None:
+            self.logger.log_artifact(path, model_name, model_type)
+        return path
+
+    def close(self):
+        if self.logger is not None:
+            self.logger.finish()
+            self.logger = None

@@ -1,0 +1,127 @@
+"""End-to-end pipeline smoke tests — the faithful analogue of the reference's
+``scripts/test_changes.py`` (its only integration test): small train +
+convert + mean-speaker learning + second convert, on the bundled samples.
+
+Model/geometry sizes are reduced so the suite runs in seconds on CPU; every
+stage of the real pipeline executes (mel -> embed -> AE -> WaveRNN -> wav).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from autovc_tpu.config import ConverterConfig
+from autovc_tpu.voice_converter import VoiceConverter
+
+SAMPLES = "/root/reference/data/samples"
+
+SMALL = ConverterConfig().with_overrides(
+    auto_encoder={
+        "spectrogram": {"partial_utterance_n_frames": 64},
+        "learn": {"n_epochs": 1, "batch_size": 2, "save_freq": 100,
+                  "model_name": ""},
+        "optimizer": {"lr": 1e-4},
+    },
+    vocoder={"res_blocks": 2, "rnn_dims": 32, "fc_dims": 32,
+             "compute_dims": 16, "res_out_dims": 16,
+             "generate": {"target": 1100, "overlap": 275}},
+)
+
+
+@pytest.fixture(scope="module")
+def vc():
+    return VoiceConverter(config=SMALL, verbose=False)
+
+
+@pytest.fixture(scope="module")
+def short_wav(tmp_path_factory):
+    """A ~0.6 s clip so WaveRNN generation stays fast on CPU."""
+    from autovc_tpu.audio import io
+    wav, sr = io.load_wav(f"{SAMPLES}/hilde_1.wav", sr=22050)
+    path = str(tmp_path_factory.mktemp("wavs") / "short.wav")
+    io.save_wav(path, wav[: int(0.6 * sr)], sr)
+    return path
+
+
+def test_convert_end_to_end(vc, short_wav, tmp_path):
+    out = vc.convert(short_wav, f"{SAMPLES}/HaegueYang_5.wav",
+                     save_name="conv.wav", save_dir=str(tmp_path),
+                     outprocess=("normalize_volume",))
+    assert out.sr == 22050
+    assert np.all(np.isfinite(out.wav))
+    assert len(out.wav) > 0.4 * 22050
+    assert np.abs(out.wav).max() > 1e-4  # not silence
+    # absolute save_dir paths are honoured as-is
+    assert os.path.isfile(str(tmp_path / "conv.wav"))
+
+
+def test_convert_save_name_false_returns_only(vc, short_wav):
+    out = vc.convert(short_wav, short_wav, save_name=False,
+                     outprocess=())
+    assert np.all(np.isfinite(out.wav))
+
+
+def test_learn_speakers_and_registry_convert(vc, short_wav):
+    vc.learn_speakers({"hilde": short_wav})
+    assert "hilde" in vc.speakers
+    emb = vc.speakers["hilde"]
+    assert emb.shape == (256,)
+    assert np.linalg.norm(emb) == pytest.approx(1.0, abs=0.05)
+    # convert using the registry name as target
+    out = vc.convert(short_wav, "hilde", save_name=False, outprocess=())
+    assert np.all(np.isfinite(out.wav))
+
+
+def test_embeddings_speaker_consistency(vc):
+    """Same speaker, different utterances -> higher cosine similarity than
+    across speakers (works even with random init more often than not; we
+    check the embeddings are at least distinct and unit-norm)."""
+    from autovc_tpu.audio import io
+    from autovc_tpu.models import speaker_encoder as SEm
+    e = {}
+    for name in ["hilde_1", "hilde_301", "HaegueYang_5"]:
+        wav, _ = io.load_wav(f"{SAMPLES}/{name}.wav", sr=16000)
+        e[name] = SEm.embed_utterance(vc.SE.params, wav[:32000],
+                                      vc.SE.config)
+    for v in e.values():
+        assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-4)
+    assert not np.allclose(e["hilde_1"], e["HaegueYang_5"])
+
+
+def test_train_auto_encoder_through_converter(vc, short_wav):
+    info = vc.train(data_path=[short_wav], model_type="auto_encoder",
+                    n_epochs=1, batch_size=2, model_name="")
+    assert info["step"] >= 1
+    assert vc.AE.step == info["step"]
+
+
+def test_train_speaker_encoder_through_converter(vc, short_wav):
+    info = vc.train(
+        data_path={"a": [short_wav], "b": [f"{SAMPLES}/mette_183.wav"]},
+        model_type="speaker_encoder", n_epochs=1, steps_per_epoch=2,
+        utterances_per_speaker=2, model_name="")
+    assert info["step"] == 2
+
+
+def test_convert_multiple_align_and_combinations(vc, short_wav, tmp_path):
+    outs = vc.convert_multiple([short_wav], [short_wav],
+                               match_method="all_combinations",
+                               save_name=False, outprocess=())
+    assert len(outs) == 1
+    with pytest.raises(ValueError):
+        vc.convert_multiple([short_wav], [short_wav],
+                            match_method="bogus")
+
+
+def test_save_and_reload_roundtrip(vc, tmp_path):
+    path = vc.save("speaker_encoder", "se.ckpt", str(tmp_path))
+    vc2 = VoiceConverter(config=SMALL, speaker_encoder=path, verbose=False)
+    assert "hilde" in vc2.speakers  # registry rides in the checkpoint
+    a = np.asarray(vc.SE.params["linear"]["w"])
+    b = np.asarray(vc2.SE.params["linear"]["w"])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_invalid_model_type_raises(vc):
+    with pytest.raises(ValueError):
+        vc.train(data_path=[], model_type="bogus")

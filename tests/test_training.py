@@ -1,0 +1,209 @@
+"""Training-loop tests: loss decreases, EMA/checkpoint/resume semantics.
+
+Uses reduced geometries (small chunks/batches) so the suite stays fast on the
+8-device CPU test mesh; the shapes exercised are the same code paths as the
+full configuration.
+"""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from autovc_tpu.config import (AutoEncoderConfig, MelConfig,
+                               SpeakerEncoderConfig, WaveRNNConfig)
+from autovc_tpu.models import autoencoder as AE
+from autovc_tpu.models import speaker_encoder as SE
+from autovc_tpu.models import wavernn as WR
+from autovc_tpu.train import loop as train_loop
+from autovc_tpu.train import schedules
+from autovc_tpu.train.data import (AutoEncoderDataset, SpeakerEncoderDataset,
+                                   VocoderDataset)
+
+SAMPLES = "/root/reference/data/samples"
+
+SMALL_AE = AutoEncoderConfig().with_overrides(
+    spectrogram={"partial_utterance_n_frames": 64},
+    learn={"n_epochs": 1, "batch_size": 4, "model_name": "",
+           "save_freq": 100},
+    optimizer={"lr": 1e-4})
+
+
+class _ArrayDataset:
+    """Synthetic fixed-shape dataset for fast loop tests."""
+
+    def __init__(self, n=8, T=64, n_mels=80, emb=256, seed=0):
+        rng = np.random.default_rng(seed)
+        self.x = rng.random((n, n_mels, T), dtype=np.float32)
+        self.c = rng.standard_normal((n, emb)).astype(np.float32)
+        self.c /= np.linalg.norm(self.c, axis=1, keepdims=True)
+
+    def batches(self, batch_size, shuffle=True, seed=0):
+        for s in range(0, len(self.x), batch_size):
+            yield self.x[s:s + batch_size], self.c[s:s + batch_size]
+
+    def epoch_steps(self, batch_size):
+        return len(self.x) // batch_size
+
+
+def test_ae_training_reduces_loss(tmp_path):
+    cfg = SMALL_AE
+    params = AE.init(jax.random.PRNGKey(0), cfg)
+    ds = _ArrayDataset(n=8, T=64)
+
+    losses = []
+
+    class Cap:
+        def log(self, m, step=None):
+            losses.append(m["loss"])
+
+    params, ema, info = train_loop.train_autoencoder(
+        params, ds, cfg, n_epochs=6, batch_size=4, log_freq=2,
+        model_name="", logger=Cap(), verbose=False)
+    assert info["step"] == 12
+    assert losses[-1] < losses[0] * 0.9, losses
+    # EMA stays close to params but not equal
+    d = jax.tree_util.tree_map(lambda a, b: np.abs(a - b).max(), params, ema)
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_ae_checkpoint_resume(tmp_path):
+    from autovc_tpu.utils.checkpoint import load_checkpoint
+    cfg = SMALL_AE
+    params = AE.init(jax.random.PRNGKey(0), cfg)
+    ds = _ArrayDataset(n=4, T=64)
+    params, ema, info = train_loop.train_autoencoder(
+        params, ds, cfg, n_epochs=1, batch_size=4, model_name="m.ckpt",
+        save_dir=str(tmp_path), save_freq=1, verbose=False)
+    blob = load_checkpoint(str(tmp_path / "m.ckpt"))
+    assert blob["step"] == info["step"] == 1
+    assert "ema_params" in blob and "opt_state" in blob
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(blob["params"])[0]))
+
+
+def test_se_training_reduces_loss():
+    cfg = SpeakerEncoderConfig()
+    params = SE.init(jax.random.PRNGKey(0), cfg)
+
+    class SynthSE:
+        """3 synthetic speakers with distinct spectral signatures."""
+
+        def __init__(self):
+            rng = np.random.default_rng(0)
+            self.protos = rng.random((3, 40)).astype(np.float32) * 4
+            self.rng = rng
+
+        def batches(self, U, n_batches, seed=0):
+            for _ in range(n_batches):
+                block = np.stack([
+                    p[None, None, :]
+                    + self.rng.random((U, 40, 40)).astype(np.float32)
+                    for p in self.protos])
+                yield np.swapaxes(block, 2, 2)
+
+    ds = SynthSE()
+    losses = []
+
+    class Cap:
+        def log(self, m, step=None):
+            losses.append(m["loss"])
+
+    params, info = train_loop.train_speaker_encoder(
+        params, ds, cfg, n_epochs=4, utterances_per_speaker=4,
+        steps_per_epoch=4, log_freq=1, model_name="", logger=Cap(),
+        verbose=False)
+    assert losses[-1] < losses[0], losses
+
+
+def test_vocoder_training_step_runs():
+    cfg = WaveRNNConfig().with_overrides(res_blocks=2, rnn_dims=64,
+                                         fc_dims=64, compute_dims=32,
+                                         res_out_dims=16)
+    params = WR.init(jax.random.PRNGKey(0), cfg)
+
+    class SynthVoc:
+        def batches(self, batch_size, seq_frames, n_batches, seed=0):
+            rng = np.random.default_rng(seed)
+            hop = cfg.hop_length
+            for _ in range(n_batches):
+                F = seq_frames + 2 * cfg.pad
+                mels = rng.random((batch_size, 80, F)).astype(np.float32)
+                x = rng.uniform(-1, 1, (batch_size, seq_frames * hop)
+                                ).astype(np.float32)
+                y = np.roll(x, -1, axis=1)
+                yield x, y, mels
+
+    losses = []
+
+    class Cap:
+        def log(self, m, step=None):
+            losses.append(m["loss"])
+
+    params, info = train_loop.train_vocoder(
+        params, SynthVoc(), cfg, n_epochs=1, batch_size=2,
+        steps_per_epoch=3, seq_frames=2, log_freq=1, model_name=None,
+        logger=Cap(), verbose=False)
+    assert info["step"] == 3
+    assert np.isfinite(losses).all()
+
+
+def test_ae_dataset_from_samples():
+    cfg = AutoEncoderConfig().with_overrides(
+        spectrogram={"partial_utterance_n_frames": 64})
+    ds = AutoEncoderDataset(
+        [f"{SAMPLES}/hilde_1.wav"], one_hot=True, cfg=cfg, verbose=False)
+    assert len(ds) > 0
+    x, c = next(ds.batches(2, shuffle=False))
+    assert x.shape == (2, 80, 64)
+    assert c.shape == (2, 256)
+    assert c[0].sum() == 1.0  # one-hot
+
+
+def test_ae_dataset_mean_speaker_matching():
+    cfg = AutoEncoderConfig().with_overrides(
+        spectrogram={"partial_utterance_n_frames": 64})
+    emb = np.full(256, 0.5, np.float32)
+    ds = AutoEncoderDataset(
+        [f"{SAMPLES}/hilde_1.wav"], speakers={"hilde": emb},
+        use_mean_speaker_embedding=True, cfg=cfg, verbose=False)
+    _, c = next(ds.batches(1, shuffle=False))
+    np.testing.assert_array_equal(c[0], emb)
+
+
+def test_se_dataset_block_shape():
+    cfg = SpeakerEncoderConfig().with_overrides(
+        spectrogram={"partial_utterance_n_frames": 40})
+    ds = SpeakerEncoderDataset(
+        {"hilde": [f"{SAMPLES}/hilde_1.wav"],
+         "yang": [f"{SAMPLES}/HaegueYang_5.wav"]},
+        cfg=cfg, verbose=False)
+    block = next(ds.batches(utterances_per_speaker=3, n_batches=1))
+    assert block.shape == (2, 3, 40, 40)
+
+
+def test_vocoder_dataset_alignment():
+    ds = VocoderDataset([f"{SAMPLES}/hilde_1.wav"], verbose=False)
+    x, y, mels = next(ds.batches(batch_size=2, seq_frames=4, n_batches=1))
+    hop = WaveRNNConfig().hop_length
+    assert x.shape == (2, 4 * hop)
+    assert mels.shape == (2, 80, 4 + 4)
+    # teacher forcing: y is x shifted by one
+    np.testing.assert_array_equal(x[:, 1:], y[:, :-1])
+
+
+def test_noam_schedule_shape():
+    sched = schedules.noam_schedule(1e-3, 256, 64)
+    lrs = [float(sched(s)) for s in [0, 32, 63, 64, 128, 1024]]
+    # warmup rises, then decays
+    assert lrs[0] < lrs[1] < lrs[3]
+    assert lrs[5] < lrs[3]
+
+
+def test_exponential_schedule_per_epoch():
+    sched = schedules.exponential_per_epoch(1e-3, 0.95, steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(9)) == pytest.approx(1e-3)
+    assert float(sched(10)) == pytest.approx(1e-3 * 0.95)
+    assert float(sched(25)) == pytest.approx(1e-3 * 0.95 ** 2)
