@@ -1,0 +1,149 @@
+"""pjit-sharded training and conversion steps.
+
+Design (SURVEY.md §2c / §5): steps are the *same* global-semantics functions
+as the single-device loops — under GSPMD a jitted function over sharded
+arrays computes global batch statistics and global gradients automatically,
+with XLA lowering the reductions to psum/all-gather over ICI.  So:
+
+  * **DP**: the batch axis is sharded over ``data``; loss means and Adam
+    updates are global; BatchNorm batch stats are cross-replica by
+    construction (sync-BN without any axis_name plumbing).
+  * **TP**: parameter leaves are sharded per
+    :data:`autovc_tpu.parallel.sharding.TP_RULES`; matmuls against sharded
+    gate/channel dims become partial matmuls + collectives.
+  * **SP (long audio)**: the overlapped chunk axis of ``batch_forward`` is
+    embarrassingly parallel until the overlap-add merge — sharding it over
+    ``data`` makes the merge a small cross-device reduction, which is exactly
+    the reference's nanmean chunk merge (auto_encoder/model.py:395-437)
+    turned into a collective.
+
+Multi-host: call :func:`initialize_distributed` first so all hosts join one
+runtime; the mesh then spans every chip and per-host input pipelines feed
+their local shard via ``jax.make_array_from_process_local_data``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from autovc_tpu.config import AutoEncoderConfig, SpeakerEncoderConfig
+from autovc_tpu.parallel import sharding as shd
+from autovc_tpu.train import loop as base_loop
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Join the multi-host runtime (replaces the reference's LSF jobscript
+    launcher, utils/hpc.py:87-202, with jax.distributed)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def make_sharded_ae_step(cfg: AutoEncoderConfig,
+                         tx: optax.GradientTransformation,
+                         ema_decay: float, mesh: Mesh,
+                         params_example) -> Callable:
+    """DP(+TP)-sharded AutoVC train step.
+
+    Returns a jitted ``step(params, opt_state, ema, x, c_org)`` whose batch
+    inputs must be sharded on ``data`` and whose states follow the TP rule
+    table (replicated on a data-only mesh).
+    """
+    from autovc_tpu.models import autoencoder as AE
+
+    p_shard = shd.param_shardings(params_example, mesh)
+    repl = shd.replicated(mesh)
+    batch = NamedSharding(mesh, P("data"))
+
+    def step(params, opt_state, ema, x, c_org):
+        (loss_val, (aux, params_bn)), grads = jax.value_and_grad(
+            AE.loss, has_aux=True)(params, x, c_org, cfg)
+        updates, opt_state = tx.update(grads, opt_state, params_bn)
+        new_params = optax.apply_updates(params_bn, updates)
+        ema = base_loop.ema_update(ema, new_params, ema_decay)
+        return new_params, opt_state, ema, aux
+
+    opt_shard = shd.tree_shardings_like(tx.init(params_example), repl)
+    aux_shard = {"loss": repl, "loss_recon": repl, "loss_recon0": repl,
+                 "loss_content": repl}
+    return jax.jit(
+        step,
+        in_shardings=(p_shard, opt_shard, p_shard, batch, batch),
+        out_shardings=(p_shard, opt_shard, p_shard, aux_shard))
+
+
+def make_sharded_se_step(cfg: SpeakerEncoderConfig,
+                         tx: optax.GradientTransformation, mesh: Mesh,
+                         params_example) -> Callable:
+    """GE2E step sharded over the speaker axis of the (S, U, T, M) block."""
+    from autovc_tpu.models import speaker_encoder as SE
+
+    p_shard = shd.param_shardings(params_example, mesh)
+    repl = shd.replicated(mesh)
+    batch = NamedSharding(mesh, P("data"))
+
+    def step(params, opt_state, block):
+        loss_val, grads = jax.value_and_grad(SE.batch_ge2e_loss)(params,
+                                                                 block)
+        grads = dict(grads,
+                     similarity_weight=grads["similarity_weight"] * 0.01,
+                     similarity_bias=grads["similarity_bias"] * 0.01)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss_val
+
+    opt_shard = shd.tree_shardings_like(tx.init(params_example), repl)
+    return jax.jit(step,
+                   in_shardings=(p_shard, opt_shard, batch),
+                   out_shardings=(p_shard, opt_shard, repl))
+
+
+def make_sharded_convert(cfg: AutoEncoderConfig, mesh: Mesh,
+                         params_example, overlap: float = 0.5) -> Callable:
+    """Chunk-sharded conversion: the sequence is split into overlapped
+    chunks (the reference's long-audio strategy) and the chunk axis is the
+    DP axis; the mean overlap-add merge lowers to a cross-device reduction.
+    """
+    from autovc_tpu.models import autoencoder as AE
+
+    p_shard = shd.param_shardings(params_example, mesh)
+    repl = shd.replicated(mesh)
+    chunk = NamedSharding(mesh, P("data"))
+
+    def convert(params, chunks, c_org, c_trg):
+        return AE.batch_forward(params, chunks, c_org, c_trg, cfg,
+                                overlap=overlap)
+
+    return jax.jit(convert,
+                   in_shardings=(p_shard, chunk, repl, repl),
+                   out_shardings=repl)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a (global) host array onto the mesh, sharded on 'data'.
+
+    On multi-host, feed process-local shards via
+    ``jax.make_array_from_process_local_data`` instead.
+    """
+    s = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(s, batch)
+    return jax.device_put(batch, s)
+
+
+def pad_batch_to(batch, size: int):
+    """Pad the leading axis to ``size`` (devices must divide the batch)."""
+    import numpy as np
+    n = batch.shape[0]
+    if n == size:
+        return batch, n
+    pad = [(0, size - n)] + [(0, 0)] * (batch.ndim - 1)
+    return np.pad(batch, pad), n
