@@ -27,6 +27,7 @@ channel-first).
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, NamedTuple
 
 import jax
@@ -249,3 +250,17 @@ def batch_forward(params: Params, chunks: jnp.ndarray, c_org: jnp.ndarray,
             cnt, jax.lax.dynamic_slice(cnt, (0, i * step), (1, N)) + ones,
             (0, i * step))
     return acc / cnt
+
+
+# Jitted inference entry points (static cfg/overlap -> one compile per chunk
+# count; outputs only, so no state pytree round-trips on the hot path).
+batch_forward_jit = jax.jit(batch_forward,
+                            static_argnames=("cfg", "overlap"))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def infer(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
+          c_trg: jnp.ndarray, cfg: AutoEncoderConfig) -> jnp.ndarray:
+    """Eval-mode postnet mel only."""
+    _, mel_post, _, _ = forward(params, x, c_org, c_trg, cfg, train=False)
+    return mel_post

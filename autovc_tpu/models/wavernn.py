@@ -248,20 +248,32 @@ def decode_mu_law(y: np.ndarray, mu: int) -> np.ndarray:
     return np.sign(y) / mu * ((1 + mu) ** np.abs(y) - 1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "fast_math", "unroll"))
 def _generate_scan(params: Params, mels: jnp.ndarray, aux: jnp.ndarray,
-                   key, cfg: WaveRNNConfig):
+                   key, cfg: WaveRNNConfig, fast_math: bool = True,
+                   unroll: int = 4):
     """The autoregressive sampling loop as one ``lax.scan``.
 
     Args:
       mels: (B, T, feat) upsampled conditioning (already folded);
       aux: (B, T, res_out).
+      fast_math: run the recurrent matmuls in bfloat16 (halves the per-step
+        HBM weight traffic, which dominates this loop: ~17 MB of GRU/fc
+        weights are re-read every step).  Sampling math stays float32.
     Returns (B, T) samples in [-1, 1].
     """
     B, T, _ = mels.shape
     rd = cfg.rnn_dims
     d = cfg.aux_dims
     a1, a2, a3, a4 = (aux[..., i * d:(i + 1) * d] for i in range(4))
+
+    cdt = jnp.bfloat16 if fast_math else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if fast_math
+            else jax.lax.Precision.HIGHEST)
+
+    def dot(a, b):
+        return jnp.matmul(a, b, precision=prec,
+                          preferred_element_type=jnp.float32)
 
     # ---- hoisted time-parallel projections (big MXU matmuls) -------------
     # I layer: input is [x, m_t, a1_t]; split off the x column.
@@ -275,58 +287,110 @@ def _generate_scan(params: Params, mels: jnp.ndarray, aux: jnp.ndarray,
     # GRU2 input is [x1, a2]: split w_ih rows.
     w_ih2 = params["rnn2"]["w_ih"]             # (rd + aux, 3*rd)
     pre_r2 = _dot(a2, w_ih2[rd:]) + params["rnn2"]["b_ih"]
-    w_ih2x = w_ih2[:rd]
 
     # fc1 input is [x2, a3]; fc2 input is [x3, a4]: split columns.
     w_fc1 = params["fc1"]["w"]                 # (fc, rd + aux)
     pre_f1 = _dot(a3, w_fc1[:, rd:].T) + params["fc1"]["b"]
-    w_fc1x = w_fc1[:, :rd]
     w_fc2 = params["fc2"]["w"]
     pre_f2 = _dot(a4, w_fc2[:, cfg.fc_dims:].T) + params["fc2"]["b"]
-    w_fc2x = w_fc2[:, :cfg.fc_dims]
 
-    rnn1 = params["rnn1"]
-    fc3 = params["fc3"]
+    # Recurrent weights, cast once outside the scan.
+    w_ih1 = params["rnn1"]["w_ih"].astype(cdt)
+    b_ih1 = params["rnn1"]["b_ih"].astype(jnp.float32)
+    w_hh1 = params["rnn1"]["w_hh"].astype(cdt)
+    b_hh1 = params["rnn1"]["b_hh"].astype(jnp.float32)
+    w_ih2x = w_ih2[:rd].astype(cdt)
+    w_hh2 = params["rnn2"]["w_hh"].astype(cdt)
+    b_hh2 = params["rnn2"]["b_hh"].astype(jnp.float32)
+    w_fc1x = w_fc1[:, :rd].T.astype(cdt)
+    w_fc2x = w_fc2[:, :cfg.fc_dims].T.astype(cdt)
+    w_fc3 = params["fc3"]["w"].T.astype(cdt)
+    b_fc3 = params["fc3"]["b"].astype(jnp.float32)
+
     n_classes = cfg.n_classes
     raw_mode = cfg.mode == "RAW"
+    nr_mix = n_classes // 3
 
-    def step(carry, pre_t):
-        x, h1, h2, k = carry
-        pre_I_t, pre_r2_t, pre_f1_t, pre_f2_t = pre_t
-        k, sk = jax.random.split(k)
+    # ---- hoisted sampling noise ------------------------------------------
+    # Per-step threefry + log/log1p transcendentals are expensive inside the
+    # loop; pregenerate Gumbel noise (mixture / class pick) and logistic
+    # noise (inverse-CDF draw) for every step up front.
+    k1, k2 = jax.random.split(key)
+    pick_dim = n_classes if raw_mode else nr_mix
+    u1 = jax.random.uniform(k1, (T, B, pick_dim), minval=1e-5,
+                            maxval=1.0 - 1e-5)
+    gumbel = -jnp.log(-jnp.log(u1))
+    u2 = jax.random.uniform(k2, (T, B), minval=1e-5, maxval=1.0 - 1e-5)
+    logistic = jnp.log(u2) - jnp.log(1.0 - u2)
 
-        xI = x * w_x[None, :] + pre_I_t                       # (B, rd)
-        h1 = R.gru_cell(rnn1, _dot(xI, rnn1["w_ih"]) + rnn1["b_ih"], h1)
+    def gru(h, xp, w_hh, b_hh):
+        """GRU step on precomputed input projection xp (f32 h carry)."""
+        hp = dot(h.astype(cdt), w_hh) + b_hh
+        xr, xz, xn = jnp.split(xp, 3, axis=-1)
+        hr, hz, hn = jnp.split(hp, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        return (1.0 - z) * n + z * h
+
+    def step(carry, inputs):
+        x, h1, h2 = carry
+        pre_I_t, pre_r2_t, pre_f1_t, pre_f2_t, gumbel_t, logistic_t = inputs
+
+        xI = x * w_x[None, :] + pre_I_t                       # (B, rd) f32
+        h1 = gru(h1, dot(xI.astype(cdt), w_ih1) + b_ih1, w_hh1, b_hh1)
         x1 = xI + h1
-        h2 = R.gru_cell({"w_hh": params["rnn2"]["w_hh"],
-                         "b_hh": params["rnn2"]["b_hh"]},
-                        _dot(x1, w_ih2x) + pre_r2_t, h2)
+        h2 = gru(h2, dot(x1.astype(cdt), w_ih2x) + pre_r2_t, w_hh2, b_hh2)
         x2 = x1 + h2
-        x3 = jax.nn.relu(_dot(x2, w_fc1x.T) + pre_f1_t)
-        x4 = jax.nn.relu(_dot(x3, w_fc2x.T) + pre_f2_t)
-        logits = _dot(x4, fc3["w"].T) + fc3["b"]              # (B, classes)
+        x3 = jax.nn.relu(dot(x2.astype(cdt), w_fc1x) + pre_f1_t)
+        x4 = jax.nn.relu(dot(x3.astype(cdt), w_fc2x) + pre_f2_t)
+        logits = dot(x4.astype(cdt), w_fc3) + b_fc3           # (B, classes)
 
         if raw_mode:
-            sample = jax.random.categorical(sk, logits, axis=-1)
-            sample = 2.0 * sample.astype(jnp.float32) / (n_classes - 1.0) - 1.0
+            pick = jnp.argmax(logits + gumbel_t, axis=-1)
+            sample = (2.0 * pick.astype(jnp.float32)
+                      / (n_classes - 1.0) - 1.0)
         else:
-            sample = MOL.sample_from_discretized_mix_logistic(sk, logits)
-        return (sample[:, None], h1, h2, k), sample
+            # Gumbel-max mixture pick + logistic inverse CDF
+            # (distribution.py:87-123 semantics, noise hoisted).
+            pick = jnp.argmax(logits[..., :nr_mix] + gumbel_t, axis=-1)
+            onehot = jax.nn.one_hot(pick, nr_mix, dtype=logits.dtype)
+            means = jnp.sum(logits[..., nr_mix:2 * nr_mix] * onehot, -1)
+            log_scales = jnp.maximum(
+                jnp.sum(logits[..., 2 * nr_mix:] * onehot, -1),
+                MOL.LOG_SCALE_MIN)
+            sample = jnp.clip(means + jnp.exp(log_scales) * logistic_t,
+                              -1.0, 1.0)
+        return (sample[:, None], h1, h2), sample
 
-    init_carry = (jnp.zeros((B, 1), mels.dtype),
-                  jnp.zeros((B, rd), mels.dtype),
-                  jnp.zeros((B, rd), mels.dtype), key)
-    pres = tuple(jnp.swapaxes(p, 0, 1)
-                 for p in (pre_I, pre_r2, pre_f1, pre_f2))
-    _, samples = jax.lax.scan(step, init_carry, pres)
+    init_carry = (jnp.zeros((B, 1), jnp.float32),
+                  jnp.zeros((B, rd), jnp.float32),
+                  jnp.zeros((B, rd), jnp.float32))
+    xs = tuple(jnp.swapaxes(p, 0, 1)
+               for p in (pre_I, pre_r2, pre_f1, pre_f2)) + (gumbel, logistic)
+    _, samples = jax.lax.scan(step, init_carry, xs, unroll=unroll)
     return jnp.swapaxes(samples, 0, 1)                        # (B, T)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "target", "overlap", "batched"))
+def _prepare_conditioning(params: Params, mel: jnp.ndarray,
+                          cfg: WaveRNNConfig, target: int, overlap: int,
+                          batched: bool):
+    """Pad -> upsample -> fold, fused in one compiled program."""
+    cond, aux, _ = upsample(params["upsample"], pad_mel(mel, cfg.pad), cfg)
+    if batched:
+        cond = fold_with_overlap(cond, target, overlap)
+        aux = fold_with_overlap(aux, target, overlap)
+    return cond, aux
 
 
 def generate(params: Params, mel: np.ndarray,
              cfg: WaveRNNConfig = WaveRNNConfig(),
              key=None, batched: bool | None = None,
              target: int | None = None, overlap: int | None = None,
-             mu_law: bool | None = None) -> np.ndarray:
+             mu_law: bool | None = None, fast_math: bool = True,
+             unroll: int = 4) -> np.ndarray:
     """Generate a waveform from a mel spectrogram (model.py:214-329).
 
     Args:
@@ -346,12 +410,10 @@ def generate(params: Params, mel: np.ndarray,
         mel = mel[None]
     wave_len = (mel.shape[-1] - 1) * cfg.hop_length
 
-    cond, aux, _ = upsample(params["upsample"], pad_mel(mel, cfg.pad), cfg)
-    if batched:
-        cond = fold_with_overlap(cond, target, overlap)
-        aux = fold_with_overlap(aux, target, overlap)
-
-    samples = np.asarray(_generate_scan(params, cond, aux, key, cfg),
+    cond, aux = _prepare_conditioning(params, mel, cfg, target, overlap,
+                                      batched)
+    samples = np.asarray(_generate_scan(params, cond, aux, key, cfg,
+                                        fast_math, unroll),
                          dtype=np.float64)
 
     if mu_law:

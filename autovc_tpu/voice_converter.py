@@ -143,14 +143,13 @@ class VoiceConverter:
         if cut:
             chunks, _ = dsp.mel_spec_auto_encoder_sliced(
                 audio_src.wav, mel_cfg, overlap=overlap)
-            post_mel = np.asarray(AEm.batch_forward(
+            post_mel = np.asarray(AEm.batch_forward_jit(
                 self.AE.params, chunks, c_source, c_target, ae_cfg,
-                overlap=overlap))
+                overlap))
         else:
             mel = dsp.mel_spec_auto_encoder(audio_src.wav, mel_cfg)
-            _, post, _, _ = AEm.forward(self.AE.params, mel[None], c_source,
-                                        c_target, ae_cfg)
-            post_mel = np.asarray(post[0])
+            post_mel = np.asarray(AEm.infer(self.AE.params, mel[None],
+                                            c_source, c_target, ae_cfg)[0])
 
         waveform = WRm.generate(self.vocoder.params, post_mel[None],
                                 self.vocoder.config,

@@ -43,7 +43,7 @@ def main():
     c[0, 0] = 1.0
 
     def convert_once(seed: int):
-        post = AE.batch_forward(ae_params, chunks, c, c, ae_cfg)
+        post = AE.batch_forward_jit(ae_params, chunks, c, c, ae_cfg)
         post = np.asarray(post)
         wav_out = WR.generate(wr_params, post[None], wr_cfg,
                               key=jax.random.PRNGKey(seed))
@@ -65,7 +65,7 @@ def main():
     # Component benches (reported to stderr for the record).
     samples = len(out)
     t0 = time.time()
-    post = np.asarray(AE.batch_forward(ae_params, chunks, c, c, ae_cfg))
+    post = np.asarray(AE.batch_forward_jit(ae_params, chunks, c, c, ae_cfg))
     ae_dt = time.time() - t0
     t0 = time.time()
     WR.generate(wr_params, post[None], wr_cfg, key=jax.random.PRNGKey(9))
