@@ -390,7 +390,8 @@ def generate(params: Params, mel: np.ndarray,
              key=None, batched: bool | None = None,
              target: int | None = None, overlap: int | None = None,
              mu_law: bool | None = None, fast_math: bool = True,
-             unroll: int = 4) -> np.ndarray:
+             unroll: int = 4, backend: str = "xla",
+             interpret: bool = False) -> np.ndarray:
     """Generate a waveform from a mel spectrogram (model.py:214-329).
 
     Args:
@@ -412,9 +413,14 @@ def generate(params: Params, mel: np.ndarray,
 
     cond, aux = _prepare_conditioning(params, mel, cfg, target, overlap,
                                       batched)
-    samples = np.asarray(_generate_scan(params, cond, aux, key, cfg,
-                                        fast_math, unroll),
-                         dtype=np.float64)
+    if backend == "pallas":
+        from autovc_tpu.ops import wavernn_pallas
+        samples = wavernn_pallas.generate_scan_pallas(
+            params, cond, aux, key, cfg, fast_math, interpret=interpret)
+    else:
+        samples = _generate_scan(params, cond, aux, key, cfg, fast_math,
+                                 unroll)
+    samples = np.asarray(samples, dtype=np.float64)
 
     if mu_law:
         samples = decode_mu_law(samples, cfg.n_classes)
