@@ -193,6 +193,90 @@ class VoiceConverter:
                 print(f"  saved '{out_path}'")
         return audio_out
 
+    def convert_batch(self, sources, target, sr: int | None = None,
+                      preprocess=None, preprocess_args=None,
+                      outprocess=None, outprocess_args=None,
+                      overlap: float = 0.5, seed: int = 0,
+                      save_dir=None):
+        """Batch-serving conversion: many sources -> one target voice in one
+        device pass per stage.
+
+        All utterances' mel chunks run through the auto-encoder as one batch
+        and all their vocoder folds join one sampling loop
+        (:func:`wavernn.generate_many`), filling the MXU far better than
+        per-utterance calls.  Returns a list of converted :class:`Audio`.
+        """
+        import jax
+
+        from autovc_tpu.models import autoencoder as AEm
+        from autovc_tpu.models import wavernn as WRm
+
+        cc = self.config.convert
+        sr = sr or cc.sr
+        preprocess = cc.preprocess if preprocess is None else preprocess
+        preprocess_args = dict(cc.preprocess_args if preprocess_args is None
+                               else preprocess_args)
+        outprocess = cc.outprocess if outprocess is None else outprocess
+        outprocess_args = dict(cc.outprocess_args if outprocess_args is None
+                               else outprocess_args)
+
+        sources = retrieve_file_paths(sources)
+        c_target = self._speaker_embedding(target, preprocess,
+                                           preprocess_args, sr)[None]
+
+        ae_cfg = self.AE.config
+        # Stage 1: mel + embed per utterance (host), AE over the union batch.
+        all_chunks, counts, c_orgs = [], [], []
+        for src in sources:
+            audio = Audio(src, sr)
+            audio.preprocess(*preprocess, **preprocess_args)
+            chunks, _ = dsp.mel_spec_auto_encoder_sliced(
+                audio.wav, ae_cfg.spectrogram, overlap=overlap)
+            all_chunks.append(chunks)
+            counts.append(len(chunks))
+            c_orgs.append(self._embed(audio))
+
+        union = np.concatenate(all_chunks, axis=0)
+        c_org_rows = np.concatenate(
+            [np.repeat(c[None], n, axis=0)
+             for c, n in zip(c_orgs, counts)], axis=0)
+        c_trg_rows = np.repeat(c_target, len(union), axis=0)
+        _, post, _, _ = AEm.forward(self.AE.params, union, c_org_rows,
+                                    c_trg_rows, ae_cfg, train=False)
+        post = np.asarray(post)
+
+        # Per-utterance overlap-add merge, then one joint vocoder pass.
+        post_mels, row = [], 0
+        N = ae_cfg.spectrogram.partial_utterance_n_frames
+        step = int(N * (1 - overlap))
+        for n in counts:
+            mels_i = post[row:row + n]
+            row += n
+            total = N + (n - 1) * step
+            acc = np.zeros((ae_cfg.n_mels, total), np.float32)
+            cnt = np.zeros(total, np.float32)
+            for i in range(n):
+                acc[:, i * step:i * step + N] += mels_i[i]
+                cnt[i * step:i * step + N] += 1
+            post_mels.append(acc / cnt)
+
+        wavs = WRm.generate_many(self.vocoder.params, post_mels,
+                                 self.vocoder.config,
+                                 key=jax.random.PRNGKey(seed))
+        outs = []
+        for src, wav in zip(sources, wavs):
+            audio_out = Audio(wav, sr=sr,
+                              sr_org=ae_cfg.spectrogram.sr)
+            audio_out.preprocess(*outprocess, **outprocess_args)
+            if save_dir is not None:
+                os.makedirs(save_dir, exist_ok=True)
+                name = os.path.splitext(os.path.basename(src))[0]
+                audio_out.save(os.path.join(
+                    save_dir, f"{name}_to_{os.path.basename(str(target))}"
+                    f".wav"))
+            outs.append(audio_out)
+        return outs
+
     def convert_multiple(self, sources, targets,
                          match_method: str = "all_combinations",
                          bidirectional: bool = False, **convert_params):

@@ -125,3 +125,19 @@ def test_save_and_reload_roundtrip(vc, tmp_path):
 def test_invalid_model_type_raises(vc):
     with pytest.raises(ValueError):
         vc.train(data_path=[], model_type="bogus")
+
+
+def test_convert_batch(vc, short_wav, tmp_path):
+    import shutil
+    src2 = str(tmp_path / "short2.wav")
+    shutil.copy(short_wav, src2)
+    outs = vc.convert_batch([short_wav, src2], short_wav,
+                            save_dir=str(tmp_path / "out"), outprocess=())
+    assert len(outs) == 2
+    for o in outs:
+        assert np.all(np.isfinite(o.wav))
+        assert len(o.wav) > 0.3 * 22050
+    # batch output should match single-convert length for the same source
+    single = vc.convert(short_wav, short_wav, save_name=False, outprocess=())
+    assert abs(len(outs[0].wav) - len(single.wav)) <= 1
+    assert len(list((tmp_path / "out").iterdir())) == 2
