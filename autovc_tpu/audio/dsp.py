@@ -159,14 +159,28 @@ def denormalize_spec(spec: np.ndarray, min_level_db: float = -100.0) -> np.ndarr
 # ---------------------------------------------------------------------------
 
 
+USE_NATIVE = True   # use the threaded C++ core when built (identical
+                    # numerics at rtol 1e-3; tests/test_native.py)
+
+
+def _native():
+    if not USE_NATIVE:
+        return None
+    from autovc_tpu import native  # local import; native imports this module
+    return native if native.available() else None
+
+
 def mel_spec_auto_encoder(wav: np.ndarray,
                           cfg: MelConfig = MelConfig()) -> np.ndarray:
     """Auto-encoder mel: amplitude mel -> dB -> [0,1].  (n_mels, n_frames).
 
     Mirrors ``mel_spec_auto_encoder`` (spectrogram.py:62-142) without the
-    slicing concern — use :func:`compute_partial_slices` + :func:`slice_mel`
-    for the ``cut=True`` behaviour.
+    slicing concern — use :func:`compute_partial_slices` + the ``_sliced``
+    variants for the ``cut=True`` behaviour.
     """
+    nat = _native()
+    if nat is not None and len(wav) >= cfg.n_fft:
+        return nat.mel_spec_auto_encoder(np.asarray(wav), cfg)
     mag = stft_magnitude(wav, cfg.n_fft, cfg.hop_length, cfg.window_length)
     fb = mel_filterbank(cfg.sr, cfg.n_fft, cfg.n_mels, fmin=cfg.fmin)
     mel = fb @ mag            # amplitude mel: S=|stft| passed to melspectrogram
@@ -182,6 +196,9 @@ def mel_spec_speaker_encoder(wav: np.ndarray,
     ``melspectrogram(wav, sr, n_fft, hop)`` squares the magnitude
     (power=2.0 default) and uses fmin=0, win_length=n_fft.
     """
+    nat = _native()
+    if nat is not None and len(wav) >= cfg.n_fft:
+        return nat.mel_spec_speaker_encoder(np.asarray(wav), cfg)
     mag = stft_magnitude(wav, cfg.n_fft, cfg.hop_length, cfg.n_fft)
     fb = mel_filterbank(cfg.sr, cfg.n_fft, cfg.n_mels)
     mel = fb @ (mag ** 2)

@@ -413,6 +413,15 @@ def generate(params: Params, mel: np.ndarray,
 
     cond, aux = _prepare_conditioning(params, mel, cfg, target, overlap,
                                       batched)
+    # Bucket the fold count to a multiple of 8: bounds the number of jit
+    # variants of the sampling program (compile cost) and keeps the MXU
+    # operand rows aligned; padded rows are discarded before the unfold.
+    n_folds = cond.shape[0]
+    bucket = -(-n_folds // 8) * 8
+    if bucket != n_folds:
+        pad_rows = ((0, bucket - n_folds), (0, 0), (0, 0))
+        cond = jnp.pad(cond, pad_rows)
+        aux = jnp.pad(aux, pad_rows)
     if backend == "pallas":
         from autovc_tpu.ops import wavernn_pallas
         samples = wavernn_pallas.generate_scan_pallas(
@@ -420,7 +429,7 @@ def generate(params: Params, mel: np.ndarray,
     else:
         samples = _generate_scan(params, cond, aux, key, cfg, fast_math,
                                  unroll)
-    samples = np.asarray(samples, dtype=np.float64)
+    samples = np.asarray(samples, dtype=np.float64)[:n_folds]
 
     if mu_law:
         samples = decode_mu_law(samples, cfg.n_classes)
@@ -474,6 +483,12 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
 
     cond = jnp.concatenate(conds, axis=0)
     aux = jnp.concatenate(auxs, axis=0)
+    total_folds = cond.shape[0]
+    bucket = -(-total_folds // 32) * 32   # bound jit variants at scale
+    if bucket != total_folds:
+        pad_rows = ((0, bucket - total_folds), (0, 0), (0, 0))
+        cond = jnp.pad(cond, pad_rows)
+        aux = jnp.pad(aux, pad_rows)
     if backend == "pallas":
         from autovc_tpu.ops import wavernn_pallas
         samples = wavernn_pallas.generate_scan_pallas(params, cond, aux,
@@ -481,7 +496,7 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
     else:
         samples = _generate_scan(params, cond, aux, key, cfg, fast_math,
                                  unroll)
-    samples = np.asarray(samples, dtype=np.float64)
+    samples = np.asarray(samples, dtype=np.float64)[:total_folds]
 
     outs, row = [], 0
     for n_folds, wave_len in zip(counts, wave_lens):
