@@ -484,19 +484,32 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
     cond = jnp.concatenate(conds, axis=0)
     aux = jnp.concatenate(auxs, axis=0)
     total_folds = cond.shape[0]
-    bucket = -(-total_folds // 32) * 32   # bound jit variants at scale
-    if bucket != total_folds:
-        pad_rows = ((0, bucket - total_folds), (0, 0), (0, 0))
+
+    # Process in fixed-size slabs.  At scale the slab is 128 rows (= MXU
+    # width: full-height matmuls each scan step, ONE compiled program for
+    # any workload size); small workloads use an 8-multiple bucket so tests
+    # and single calls don't pad to 128.
+    SLAB = min(128, -(-total_folds // 8) * 8)
+    n_slabs = max(1, -(-total_folds // SLAB))
+    padded = n_slabs * SLAB
+    if padded != total_folds:
+        pad_rows = ((0, padded - total_folds), (0, 0), (0, 0))
         cond = jnp.pad(cond, pad_rows)
         aux = jnp.pad(aux, pad_rows)
-    if backend == "pallas":
-        from autovc_tpu.ops import wavernn_pallas
-        samples = wavernn_pallas.generate_scan_pallas(params, cond, aux,
-                                                      key, cfg, fast_math)
-    else:
-        samples = _generate_scan(params, cond, aux, key, cfg, fast_math,
-                                 unroll)
-    samples = np.asarray(samples, dtype=np.float64)[:total_folds]
+
+    slab_outs = []
+    for s in range(n_slabs):
+        key, sk = jax.random.split(key)
+        c = jax.lax.dynamic_slice_in_dim(cond, s * SLAB, SLAB, 0)
+        a = jax.lax.dynamic_slice_in_dim(aux, s * SLAB, SLAB, 0)
+        if backend == "pallas":
+            from autovc_tpu.ops import wavernn_pallas
+            out = wavernn_pallas.generate_scan_pallas(params, c, a, sk, cfg,
+                                                      fast_math)
+        else:
+            out = _generate_scan(params, c, a, sk, cfg, fast_math, unroll)
+        slab_outs.append(np.asarray(out, dtype=np.float64))
+    samples = np.concatenate(slab_outs, axis=0)[:total_folds]
 
     outs, row = [], 0
     for n_folds, wave_len in zip(counts, wave_lens):

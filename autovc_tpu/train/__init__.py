@@ -20,6 +20,20 @@ def train_model(vc, model_type: str, data_path, **kwargs):
                  if k in dataset_keys}
     logger = vc.logger
 
+    # per-epoch conversion examples (auto_encoder/model.py:347-357)
+    source_examples = kwargs.pop("source_examples", None)
+    target_examples = kwargs.pop("target_examples", None)
+    on_epoch_end = None
+    if source_examples and target_examples and model_type == "auto_encoder":
+        def on_epoch_end(epoch, params):
+            vc.AE.params = params
+            vc.convert_multiple(
+                source_examples, target_examples,
+                save_dir=("wandb" if logger is not None
+                          and logger.run is not None
+                          else "training_examples"),
+                audio_log_dict={"epoch": epoch})
+
     if model_type == "auto_encoder":
         dataset = data.AutoEncoderDataset(
             data_path, speaker_encoder=vc.SE.params,
@@ -28,7 +42,8 @@ def train_model(vc, model_type: str, data_path, **kwargs):
             verbose=vc.verbose, **ds_kwargs)
         params, ema, info = loop.train_autoencoder(
             vc.AE.params, dataset, vc.AE.config, logger=logger,
-            verbose=vc.verbose, start_step=vc.AE.step, **kwargs)
+            verbose=vc.verbose, start_step=vc.AE.step,
+            on_epoch_end=on_epoch_end, **kwargs)
         vc.AE.params = params
         vc.AE.step = info["step"]
         vc.AE.extras["ema_params"] = ema

@@ -71,10 +71,15 @@ def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
                       ema_decay: float | None = None,
                       logger=None, verbose: bool = True,
                       on_epoch_end: Callable | None = None,
-                      start_step: int = 0,
+                      start_step: int = 0, resume: bool = False,
                       opt_overrides: Dict[str, Any] | None = None):
     """AutoVC training (auto_encoder/model.py:218-361).  Returns
-    (params, ema_params, info-dict)."""
+    (params, ema_params, info-dict).
+
+    ``resume=True`` restores params + EMA + optimizer state + step from the
+    newest checkpoint in ``save_dir`` — exact preemption recovery, which the
+    reference only approximates (it saves optimizer state but never restores
+    it, auto_encoder/model.py:149-156)."""
     lc, oc = cfg.learn, cfg.optimizer
     if opt_overrides:
         oc = oc.with_overrides(**opt_overrides)
@@ -90,6 +95,20 @@ def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
     tx = schedules.make_optimizer(oc, steps_per_epoch, dim_model=80)
     opt_state = tx.init(params)
     ema = jax.tree_util.tree_map(jnp.asarray, params)
+
+    if resume:
+        from autovc_tpu.utils.checkpoint import (latest_checkpoint,
+                                                 load_checkpoint)
+        latest = latest_checkpoint(save_dir)
+        if latest is not None:
+            blob = load_checkpoint(latest)
+            params = blob["params"]
+            ema = blob.get("ema_params", ema)
+            opt_state = blob.get("opt_state", opt_state)
+            start_step = int(blob.get("step", start_step) or 0)
+            if verbose:
+                print(f"Resumed from '{latest}' at step {start_step}")
+
     step_fn = make_ae_step(cfg, tx, ema_decay)
 
     n_total = n_epochs * steps_per_epoch

@@ -141,3 +141,15 @@ def test_convert_batch(vc, short_wav, tmp_path):
     single = vc.convert(short_wav, short_wav, save_name=False, outprocess=())
     assert abs(len(outs[0].wav) - len(single.wav)) <= 1
     assert len(list((tmp_path / "out").iterdir())) == 2
+
+
+def test_train_with_conversion_examples(vc, short_wav):
+    info = vc.train(data_path=[short_wav], model_type="auto_encoder",
+                    n_epochs=1, batch_size=2, model_name="",
+                    source_examples=[short_wav], target_examples=[short_wav])
+    assert info["step"] >= 1
+    # example conversions were written by the epoch hook (convert() places
+    # non-wandb outputs under results/)
+    assert os.path.isdir("results/training_examples")
+    assert any(f.endswith(".wav")
+               for f in os.listdir("results/training_examples"))

@@ -207,3 +207,18 @@ def test_exponential_schedule_per_epoch():
     assert float(sched(9)) == pytest.approx(1e-3)
     assert float(sched(10)) == pytest.approx(1e-3 * 0.95)
     assert float(sched(25)) == pytest.approx(1e-3 * 0.95 ** 2)
+
+
+def test_ae_resume_from_checkpoint(tmp_path):
+    cfg = SMALL_AE
+    params = AE.init(jax.random.PRNGKey(0), cfg)
+    ds = _ArrayDataset(n=4, T=64)
+    # first run saves
+    train_loop.train_autoencoder(params, ds, cfg, n_epochs=2, batch_size=4,
+                                 model_name="m.ckpt", save_dir=str(tmp_path),
+                                 save_freq=1, verbose=False)
+    # resume continues from step 2
+    p2, _, info = train_loop.train_autoencoder(
+        params, ds, cfg, n_epochs=1, batch_size=4, model_name="m.ckpt",
+        save_dir=str(tmp_path), save_freq=1, resume=True, verbose=False)
+    assert info["step"] == 3
