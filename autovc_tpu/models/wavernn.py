@@ -390,14 +390,19 @@ def generate(params: Params, mel: np.ndarray,
              key=None, batched: bool | None = None,
              target: int | None = None, overlap: int | None = None,
              mu_law: bool | None = None, fast_math: bool = True,
-             unroll: int = 4, backend: str = "xla",
+             unroll: int = 4, backend: str = "auto",
              interpret: bool = False) -> np.ndarray:
     """Generate a waveform from a mel spectrogram (model.py:214-329).
 
     Args:
       mel: (1, feat, F) or (feat, F) conditioning mel.
+      backend: 'pallas' (TPU kernel, VMEM-resident weights, ~100x faster
+        compile than the XLA scan), 'xla' (portable `lax.scan`), or 'auto'
+        (pallas on TPU, xla elsewhere).
     Returns float32 waveform of length (F - 1) * hop_length.
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     g = cfg.generate
     batched = g.batched if batched is None else batched
     target = g.target if target is None else target
@@ -448,7 +453,7 @@ def generate(params: Params, mel: np.ndarray,
 def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
                   key=None, target: int | None = None,
                   overlap: int | None = None, fast_math: bool = True,
-                  unroll: int = 4, backend: str = "xla"):
+                  unroll: int = 4, backend: str = "auto"):
     """Vocode SEVERAL utterances in one pass (production batch serving).
 
     Single-utterance generation underfills the MXU: ~14 folds of a 7 s clip
@@ -466,6 +471,8 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
     g = cfg.generate
     target = g.target if target is None else target
     overlap = g.overlap if overlap is None else overlap
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if key is None:
         key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
 

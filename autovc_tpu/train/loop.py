@@ -92,6 +92,7 @@ def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
     save_dir = save_dir or lc.save_dir
 
     steps_per_epoch = dataset.epoch_steps(batch_size)
+    lr_schedule = schedules.make_schedule(oc, steps_per_epoch, dim_model=80)
     tx = schedules.make_optimizer(oc, steps_per_epoch, dim_model=80)
     opt_state = tx.init(params)
     ema = jax.tree_util.tree_map(jnp.asarray, params)
@@ -130,6 +131,7 @@ def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
                 logger.log({"loss": running / max(log_steps, 1),
                             "loss_recon": float(aux["loss_recon"]),
                             "loss_content": float(aux["loss_content"]),
+                            "learning_rate": float(lr_schedule(step)),
                             "epoch": epoch, "step": step}, step=step)
                 running, log_steps = 0.0, 0
         if (epoch % save_freq == 0 or epoch == n_epochs) and model_name:
@@ -137,6 +139,21 @@ def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
             save_checkpoint(f"{save_dir.rstrip('/')}/{model_name}",
                             {"step": step, "params": params,
                              "ema_params": ema, "opt_state": opt_state})
+        if logger is not None and (epoch % save_freq == 0
+                                   or epoch == n_epochs):
+            # original-vs-reconstruction mel figure, as the reference logs
+            # each save epoch (auto_encoder/model.py:371-374,439-450)
+            try:
+                from autovc_tpu.models import autoencoder as AE
+                from autovc_tpu.utils import visual
+                _, post, _, _ = AE.forward(params, x[:1], c[:1], c[:1],
+                                           cfg, train=False)
+                fig = visual.plot_conversion(np.asarray(x[0]),
+                                             np.asarray(post)[0])
+                logger.log_figure("mel_reconstruction", fig, step=step)
+            except Exception as e:   # matplotlib is an optional extra
+                if verbose:
+                    print(f"[metrics] figure skipped: {e}")
         if on_epoch_end is not None:
             on_epoch_end(epoch, params)
     if verbose:
@@ -217,6 +234,22 @@ def train_speaker_encoder(params, dataset, cfg: SpeakerEncoderConfig,
                             {"step": step, "params": params,
                              "speakers": speakers or {},
                              "opt_state": opt_state})
+        if logger is not None and (epoch % save_freq == 0
+                                   or epoch == n_epochs):
+            # TSNE embedding scatter, as the reference logs each save epoch
+            # (speaker_encoder/model.py:417-419,426-444)
+            try:
+                from autovc_tpu.models import speaker_encoder as SE
+                from autovc_tpu.utils import visual
+                b = np.asarray(batch)
+                S, U = b.shape[:2]
+                emb = np.asarray(SE.forward(
+                    params, b.reshape(S * U, *b.shape[2:])))
+                fig = visual.visualise_embedding(emb.reshape(S, U, -1))
+                logger.log_figure("embedding_tsne", fig, step=step)
+            except Exception as e:  # matplotlib/sklearn optional extras
+                if verbose:
+                    print(f"[metrics] figure skipped: {e}")
     if verbose:
         close_progbar()
     return params, {"step": step, "opt_state": opt_state}

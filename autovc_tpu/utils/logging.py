@@ -74,6 +74,25 @@ class MetricsLogger:
             os.makedirs(save_dir, exist_ok=True)
             io.save_wav(os.path.join(save_dir, f"{name}.wav"), wav, sr)
 
+    def log_figure(self, name: str, fig, step: int | None = None,
+                   save_dir: str | None = None) -> None:
+        """Log a matplotlib figure — wandb Image when live, else a PNG under
+        ``save_dir`` (defaults next to the JSONL log).  Mirrors the
+        reference's mel-comparison / TSNE figure logging
+        (auto_encoder/model.py:371-374, speaker_encoder/model.py:417-419)."""
+        try:
+            if self.run is not None:
+                import wandb
+                self.run.log({name: wandb.Image(fig)}, step=step)
+            else:
+                out_dir = save_dir or os.path.dirname(self.jsonl_path)
+                os.makedirs(out_dir, exist_ok=True)
+                suffix = f"_{step}" if step is not None else ""
+                fig.savefig(os.path.join(out_dir, f"{name}{suffix}.png"))
+        finally:
+            import matplotlib.pyplot as plt
+            plt.close(fig)
+
     def log_artifact(self, path: str, name: str, type_: str) -> None:
         if self.run is not None:
             import wandb

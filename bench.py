@@ -19,7 +19,20 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent XLA compilation cache: the WaveRNN sampling scan + AE convert
+    # graphs take minutes to compile cold; warm runs then start instantly.
+    cache_dir = os.path.expanduser(
+        os.environ.get("AUTOVC_XLA_CACHE", "~/.cache/autovc_tpu_xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from autovc_tpu.audio import dsp, io
     from autovc_tpu.config import AutoEncoderConfig, WaveRNNConfig
