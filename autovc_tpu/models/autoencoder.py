@@ -75,14 +75,28 @@ def init(key, cfg: AutoEncoderConfig = AutoEncoderConfig()) -> Params:
     }
 
 
+def _rnn_impls(rnn_backend: str, train: bool):
+    """Pick the recurrence implementation: differentiable lax.scan for
+    training / CPU / GSPMD-sharded programs, the Pallas VMEM-resident kernel
+    (ops/lstm_pallas.py) for single-chip TPU inference."""
+    use_pallas = (not train) and (
+        rnn_backend == "pallas"
+        or (rnn_backend == "auto" and jax.default_backend() == "tpu"))
+    if use_pallas:
+        from autovc_tpu.ops import lstm_pallas as LP
+        return LP.lstm_stack_pallas, LP.bilstm_stack_pallas
+    return R.lstm_stack, R.bilstm_stack
+
+
 class EncoderOut(NamedTuple):
+
     codes_fwd: jnp.ndarray   # (B, n_fwd, dim_neck)
     codes_bwd: jnp.ndarray   # (B, n_bwd, dim_neck)
 
 
 def encoder(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
             freq: int, dim_neck: int, train: bool = False,
-            axis_name: str | None = None):
+            axis_name: str | None = None, rnn_backend: str = "auto"):
     """(B, n_mels, T), (B, emb) -> downsampled codes.  Returns
     (EncoderOut, new_encoder_params)."""
     T = x.shape[-1]
@@ -95,7 +109,8 @@ def encoder(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
                           axis_name=axis_name)
         new_convs.append(p2)
     h = jnp.swapaxes(h, 1, 2)                       # (B, T, 512)
-    out = R.bilstm_stack(params["blstm"], h)        # (B, T, 2*neck)
+    _, bilstm_stack = _rnn_impls(rnn_backend, train)
+    out = bilstm_stack(params["blstm"], h)          # (B, T, 2*neck)
     out_f, out_b = out[..., :dim_neck], out[..., dim_neck:]
     codes_fwd = out_f[:, freq - 1::freq, :]
     codes_bwd = out_b[:, ::freq, :]
@@ -118,9 +133,10 @@ def upsample_codes(codes_fwd: jnp.ndarray, codes_bwd: jnp.ndarray,
 
 
 def decoder(params: Params, x: jnp.ndarray, train: bool = False,
-            axis_name: str | None = None):
+            axis_name: str | None = None, rnn_backend: str = "auto"):
     """(B, T, 2*neck+emb) -> (B, T, n_mels).  Returns (mel, new_params)."""
-    h, _, _ = R.lstm_stack(params["lstm1"], x)
+    lstm_stack, _ = _rnn_impls(rnn_backend, train)
+    h, _, _ = lstm_stack(params["lstm1"], x)
     h = jnp.swapaxes(h, 1, 2)
     new_convs = []
     for p in params["convs"]:
@@ -128,7 +144,7 @@ def decoder(params: Params, x: jnp.ndarray, train: bool = False,
                           axis_name=axis_name)
         new_convs.append(p2)
     h = jnp.swapaxes(h, 1, 2)
-    h, _, _ = R.lstm_stack(params["lstm2"], h)
+    h, _, _ = lstm_stack(params["lstm2"], h)
     mel = C.linear(params["proj"], h)
     return mel, dict(params, convs=new_convs)
 
@@ -158,17 +174,19 @@ def _flatten_codes(enc: EncoderOut) -> jnp.ndarray:
 
 def content_codes(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
                   cfg: AutoEncoderConfig, train: bool = False,
-                  axis_name: str | None = None):
+                  axis_name: str | None = None, rnn_backend: str = "auto"):
     """Encoder-only pass (the reference's ``forward(..., c_trg=None)``,
     model.py:98-101).  Returns (codes, new_params)."""
     enc, enc_new = encoder(params["encoder"], x, c_org, cfg.freq,
-                           cfg.dim_neck, train=train, axis_name=axis_name)
+                           cfg.dim_neck, train=train, axis_name=axis_name,
+                           rnn_backend=rnn_backend)
     return _flatten_codes(enc), dict(params, encoder=enc_new)
 
 
 def forward(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
             c_trg: jnp.ndarray, cfg: AutoEncoderConfig,
-            train: bool = False, axis_name: str | None = None):
+            train: bool = False, axis_name: str | None = None,
+            rnn_backend: str = "auto"):
     """Full generator pass.
 
     Args:
@@ -179,7 +197,8 @@ def forward(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
     """
     T = x.shape[-1]
     enc, enc_new = encoder(params["encoder"], x, c_org, cfg.freq,
-                           cfg.dim_neck, train=train, axis_name=axis_name)
+                           cfg.dim_neck, train=train, axis_name=axis_name,
+                           rnn_backend=rnn_backend)
     codes = _flatten_codes(enc)
 
     up = upsample_codes(enc.codes_fwd, enc.codes_bwd, cfg.freq, T)
@@ -187,7 +206,7 @@ def forward(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
         [up, jnp.broadcast_to(c_trg[:, None, :], (x.shape[0], T,
                                                   c_trg.shape[-1]))], axis=-1)
     mel_dec, dec_new = decoder(params["decoder"], dec_in, train=train,
-                               axis_name=axis_name)
+                               axis_name=axis_name, rnn_backend=rnn_backend)
     mel_dec = jnp.swapaxes(mel_dec, 1, 2)           # (B, n_mels, T)
     residual, post_new = postnet(params["postnet"], mel_dec, train=train,
                                  axis_name=axis_name)
@@ -222,7 +241,8 @@ def loss(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
 
 def batch_forward(params: Params, chunks: jnp.ndarray, c_org: jnp.ndarray,
                   c_trg: jnp.ndarray, cfg: AutoEncoderConfig,
-                  overlap: float = 0.5) -> jnp.ndarray:
+                  overlap: float = 0.5,
+                  rnn_backend: str = "auto") -> jnp.ndarray:
     """Convert overlapping mel chunks as one batch and merge by mean
     overlap-add (the reference's NaN-pad + nanmean, model.py:395-437,
     expressed as a sum/count overlap-add — identical result, no NaNs).
@@ -236,7 +256,7 @@ def batch_forward(params: Params, chunks: jnp.ndarray, c_org: jnp.ndarray,
     c_org = jnp.broadcast_to(c_org, (M, c_org.shape[-1]))
     c_trg = jnp.broadcast_to(c_trg, (M, c_trg.shape[-1]))
     _, mel_post, _, _ = forward(params, chunks, c_org, c_trg, cfg,
-                                train=False)
+                                train=False, rnn_backend=rnn_backend)
     step = int(N * (1 - overlap))
     total = N + (M - 1) * step
     acc = jnp.zeros((n_mels, total), mel_post.dtype)
@@ -255,7 +275,8 @@ def batch_forward(params: Params, chunks: jnp.ndarray, c_org: jnp.ndarray,
 # Jitted inference entry points (static cfg/overlap -> one compile per chunk
 # count; outputs only, so no state pytree round-trips on the hot path).
 batch_forward_jit = jax.jit(batch_forward,
-                            static_argnames=("cfg", "overlap"))
+                            static_argnames=("cfg", "overlap",
+                                             "rnn_backend"))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -268,6 +268,34 @@ def fold_with_overlap(x: jnp.ndarray, target: int, overlap: int):
         for s in starts])
 
 
+@functools.partial(jax.jit, static_argnames=("overlap",))
+def xfade_and_unfold_device(y: jnp.ndarray, overlap: int) -> jnp.ndarray:
+    """Equal-power crossfade overlap-add on device (same math as
+    :func:`xfade_and_unfold`, f32): rows overlap their successor by
+    ``overlap`` samples, so the unfold is one flatten plus one shifted add —
+    no scatter.  Keeping this on device means only the final waveform ever
+    crosses the host boundary."""
+    num_folds, length = y.shape
+    target = length - 2 * overlap
+    stride = target + overlap
+
+    silence_len = overlap // 2
+    fade_len = overlap - silence_len
+    t = jnp.linspace(-1.0, 1.0, fade_len, dtype=y.dtype)
+    fade_in = jnp.concatenate([jnp.zeros(silence_len, y.dtype),
+                               jnp.sqrt(0.5 * (1.0 + t))])
+    fade_out = jnp.concatenate([jnp.ones(silence_len, y.dtype),
+                                jnp.sqrt(0.5 * (1.0 - t))])
+    y = y.at[:, :overlap].multiply(fade_in)
+    y = y.at[:, -overlap:].multiply(fade_out)
+
+    main = y[:, :stride].reshape(num_folds * stride)
+    # row i's tail lands on row i+1's first `overlap` samples
+    tails = jnp.pad(y[:, stride:], ((1, 0), (0, stride - overlap)))
+    out = jnp.pad(main, (0, overlap)) + tails.reshape(-1)[:main.size + overlap]
+    return out
+
+
 def xfade_and_unfold(y: np.ndarray, overlap: int) -> np.ndarray:
     """Equal-power crossfade overlap-add of folded sample rows
     (model.py:401-456).  Host-side numpy (cheap, one pass)."""
@@ -486,20 +514,25 @@ def generate(params: Params, mel: np.ndarray,
     else:
         samples = _generate_scan(params, cond, aux, key, cfg, fast_math,
                                  unroll)
-    samples = np.asarray(samples, dtype=np.float64)[:n_folds]
+    samples = samples[:n_folds]
 
     if mu_law:
-        samples = decode_mu_law(samples, cfg.n_classes)
+        samples = jnp.sign(samples) / (cfg.n_classes - 1) * (
+            cfg.n_classes ** jnp.abs(samples) - 1)
 
     if batched:
-        output = xfade_and_unfold(samples, overlap)
+        output = xfade_and_unfold_device(samples, overlap)
     else:
         output = samples[0]
 
+    # trim + 20-hop linear fade-out (model.py:325-327), still on device; the
+    # finished waveform is the ONLY array that crosses the host boundary.
     output = output[:wave_len]
-    fade_out = np.linspace(1, 0, 20 * cfg.hop_length)
-    output[-20 * cfg.hop_length:] *= fade_out[: len(output)]
-    return output.astype(np.float32)
+    fade_n = min(20 * cfg.hop_length, int(output.shape[0]))
+    fade = jnp.linspace(1.0, 0.0, 20 * cfg.hop_length,
+                        dtype=output.dtype)[:fade_n]
+    output = output.at[output.shape[0] - fade_n:].multiply(fade)
+    return np.asarray(output, dtype=np.float32)
 
 
 def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
@@ -567,15 +600,19 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
                                                       fast_math)
         else:
             out = _generate_scan(params, c, a, sk, cfg, fast_math, unroll)
-        slab_outs.append(np.asarray(out, dtype=np.float64))
-    samples = np.concatenate(slab_outs, axis=0)[:total_folds]
+        slab_outs.append(out)
+    samples = jnp.concatenate(slab_outs, axis=0)[:total_folds]
 
+    # Per-utterance unfold + trim + fade on device; only the finished
+    # waveforms cross the host boundary.
     outs, row = [], 0
     for n_folds, wave_len in zip(counts, wave_lens):
-        y = samples[row:row + n_folds]
+        y = jax.lax.dynamic_slice_in_dim(samples, row, n_folds, 0)
         row += n_folds
-        out = xfade_and_unfold(y, overlap)[:wave_len]
-        fade = np.linspace(1, 0, 20 * cfg.hop_length)
-        out[-20 * cfg.hop_length:] *= fade[: len(out)]
-        outs.append(out.astype(np.float32))
-    return outs
+        out = xfade_and_unfold_device(y, overlap)[:wave_len]
+        fade_n = min(20 * cfg.hop_length, int(out.shape[0]))
+        fade = jnp.linspace(1.0, 0.0, 20 * cfg.hop_length,
+                            dtype=out.dtype)[:fade_n]
+        out = out.at[out.shape[0] - fade_n:].multiply(fade)
+        outs.append(out)
+    return [np.asarray(o, dtype=np.float32) for o in outs]

@@ -119,8 +119,10 @@ def make_sharded_convert(cfg: AutoEncoderConfig, mesh: Mesh,
     chunk = NamedSharding(mesh, P("data"))
 
     def convert(params, chunks, c_org, c_trg):
+        # rnn_backend="xla": the Pallas LSTM kernel is opaque to GSPMD, so
+        # the sharded program keeps the partitionable lax.scan recurrence.
         return AE.batch_forward(params, chunks, c_org, c_trg, cfg,
-                                overlap=overlap)
+                                overlap=overlap, rnn_backend="xla")
 
     return jax.jit(convert,
                    in_shardings=(p_shard, chunk, repl, repl),

@@ -140,16 +140,17 @@ class VoiceConverter:
 
         ae_cfg = self.AE.config
         mel_cfg = ae_cfg.spectrogram
+        # post_mel stays on device between the AE and vocoder stages; only
+        # the finished waveform crosses the host boundary.
         if cut:
             chunks, _ = dsp.mel_spec_auto_encoder_sliced(
                 audio_src.wav, mel_cfg, overlap=overlap)
-            post_mel = np.asarray(AEm.batch_forward_jit(
-                self.AE.params, chunks, c_source, c_target, ae_cfg,
-                overlap))
+            post_mel = AEm.batch_forward_jit(
+                self.AE.params, chunks, c_source, c_target, ae_cfg, overlap)
         else:
             mel = dsp.mel_spec_auto_encoder(audio_src.wav, mel_cfg)
-            post_mel = np.asarray(AEm.infer(self.AE.params, mel[None],
-                                            c_source, c_target, ae_cfg)[0])
+            post_mel = AEm.infer(self.AE.params, mel[None],
+                                 c_source, c_target, ae_cfg)[0]
 
         waveform = WRm.generate(self.vocoder.params, post_mel[None],
                                 self.vocoder.config,
@@ -225,40 +226,23 @@ class VoiceConverter:
                                            preprocess_args, sr)[None]
 
         ae_cfg = self.AE.config
-        # Stage 1: mel + embed per utterance (host), AE over the union batch.
-        all_chunks, counts, c_orgs = [], [], []
+        # Stage 1: mel + embed per utterance (host).
+        all_chunks, c_orgs = [], []
         for src in sources:
             audio = Audio(src, sr)
             audio.preprocess(*preprocess, **preprocess_args)
             chunks, _ = dsp.mel_spec_auto_encoder_sliced(
                 audio.wav, ae_cfg.spectrogram, overlap=overlap)
             all_chunks.append(chunks)
-            counts.append(len(chunks))
             c_orgs.append(self._embed(audio))
 
-        union = np.concatenate(all_chunks, axis=0)
-        c_org_rows = np.concatenate(
-            [np.repeat(c[None], n, axis=0)
-             for c, n in zip(c_orgs, counts)], axis=0)
-        c_trg_rows = np.repeat(c_target, len(union), axis=0)
-        _, post, _, _ = AEm.forward(self.AE.params, union, c_org_rows,
-                                    c_trg_rows, ae_cfg, train=False)
-        post = np.asarray(post)
-
-        # Per-utterance overlap-add merge, then one joint vocoder pass.
-        post_mels, row = [], 0
-        N = ae_cfg.spectrogram.partial_utterance_n_frames
-        step = int(N * (1 - overlap))
-        for n in counts:
-            mels_i = post[row:row + n]
-            row += n
-            total = N + (n - 1) * step
-            acc = np.zeros((ae_cfg.n_mels, total), np.float32)
-            cnt = np.zeros(total, np.float32)
-            for i in range(n):
-                acc[:, i * step:i * step + N] += mels_i[i]
-                cnt[i * step:i * step + N] += 1
-            post_mels.append(acc / cnt)
+        # Per-utterance AE conversion + overlap-add merge on device (async
+        # dispatch pipelines the utterances), then one joint vocoder pass —
+        # nothing but the finished waveforms crosses the host boundary.
+        post_mels = [
+            AEm.batch_forward_jit(self.AE.params, chunks, c_org[None],
+                                  c_target, ae_cfg, overlap)
+            for chunks, c_org in zip(all_chunks, c_orgs)]
 
         wavs = WRm.generate_many(self.vocoder.params, post_mels,
                                  self.vocoder.config,

@@ -1,5 +1,6 @@
 """Forward-parity tests: autovc_tpu models vs torch mirror models after
 checkpoint conversion (the SURVEY.md §4 'model-parity' tier)."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import torch
@@ -293,3 +294,16 @@ def test_generate_unbatched_matches_length(wavernn_pair):
                       batched=False)
     assert wav.shape == (7 * cfg.hop_length,)
     assert np.all(np.isfinite(wav))
+
+
+def test_xfade_and_unfold_device_matches_host(rng):
+    """Device-side unfold (jit) == host numpy version (the only difference
+    is f32 vs f64 accumulation of two-term sums)."""
+    for num_folds, target, overlap in ((3, 64, 16), (1, 64, 16), (7, 110, 22)):
+        y = rng.standard_normal(
+            (num_folds, target + 2 * overlap)).astype(np.float32)
+        host = WR.xfade_and_unfold(y.astype(np.float64), overlap)
+        dev = np.asarray(WR.xfade_and_unfold_device(jnp.asarray(y), overlap))
+        assert dev.shape == host.shape
+        np.testing.assert_allclose(dev, host.astype(np.float32),
+                                   rtol=1e-5, atol=1e-6)
