@@ -1,0 +1,34 @@
+"""Fused Pallas mel kernel vs the XLA and host mel front-ends (interpret
+mode on CPU; real-chip numerics are covered by the same librosa budget)."""
+import numpy as np
+
+from autovc_tpu.audio import dsp
+from autovc_tpu.config import MelConfig, SpeakerMelConfig
+from autovc_tpu.ops import melspec as M
+from autovc_tpu.ops import melspec_pallas as MP
+
+
+def test_ae_mel_pallas_matches_host(sample_wav):
+    cfg = MelConfig()
+    ref = dsp.mel_spec_auto_encoder(sample_wav, cfg)
+    out = np.asarray(MP.mel_spec_auto_encoder_pallas(sample_wav, cfg,
+                                                     interpret=True))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_se_mel_pallas_matches_host(sample_wav_16k):
+    cfg = SpeakerMelConfig()
+    ref = dsp.mel_spec_speaker_encoder(sample_wav_16k, cfg)
+    out = np.asarray(MP.mel_spec_speaker_encoder_pallas(
+        sample_wav_16k, cfg, interpret=True))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=2e-3)
+
+
+def test_ae_mel_pallas_matches_xla_path(sample_wav):
+    cfg = MelConfig()
+    ref = np.asarray(M.mel_spec_auto_encoder(sample_wav, cfg))
+    out = np.asarray(MP.mel_spec_auto_encoder_pallas(sample_wav, cfg,
+                                                     interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
