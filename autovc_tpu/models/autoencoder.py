@@ -279,9 +279,11 @@ batch_forward_jit = jax.jit(batch_forward,
                                              "rnn_backend"))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "rnn_backend"))
 def infer(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
-          c_trg: jnp.ndarray, cfg: AutoEncoderConfig) -> jnp.ndarray:
+          c_trg: jnp.ndarray, cfg: AutoEncoderConfig,
+          rnn_backend: str = "auto") -> jnp.ndarray:
     """Eval-mode postnet mel only."""
-    _, mel_post, _, _ = forward(params, x, c_org, c_trg, cfg, train=False)
+    _, mel_post, _, _ = forward(params, x, c_org, c_trg, cfg, train=False,
+                                rnn_backend=rnn_backend)
     return mel_post

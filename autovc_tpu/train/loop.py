@@ -88,8 +88,10 @@ def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
     log_freq = log_freq if log_freq is not None else lc.log_freq
     save_freq = save_freq if save_freq is not None else lc.save_freq
     ema_decay = ema_decay if ema_decay is not None else lc.ema_decay
-    model_name = model_name or lc.model_name
-    save_dir = save_dir or lc.save_dir
+    # None -> config default; '' -> saving disabled (the `and model_name`
+    # guard below). `or` would silently resurrect the default for ''.
+    model_name = lc.model_name if model_name is None else model_name
+    save_dir = lc.save_dir if save_dir is None else save_dir
 
     steps_per_epoch = dataset.epoch_steps(batch_size)
     lr_schedule = schedules.make_schedule(oc, steps_per_epoch, dim_model=80)
@@ -115,6 +117,7 @@ def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
     n_total = n_epochs * steps_per_epoch
     step = start_step
     running, log_steps, t_start = 0.0, 0, time.time()
+    x = c = None   # last batch, kept for the reconstruction figure
     for epoch in range(1, n_epochs + 1):
         for x, c in dataset.batches(batch_size, shuffle=True, seed=epoch):
             params, opt_state, ema, aux = step_fn(params, opt_state, ema,
@@ -139,8 +142,8 @@ def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
             save_checkpoint(f"{save_dir.rstrip('/')}/{model_name}",
                             {"step": step, "params": params,
                              "ema_params": ema, "opt_state": opt_state})
-        if logger is not None and (epoch % save_freq == 0
-                                   or epoch == n_epochs):
+        if logger is not None and x is not None and (
+                epoch % save_freq == 0 or epoch == n_epochs):
             # original-vs-reconstruction mel figure, as the reference logs
             # each save epoch (auto_encoder/model.py:371-374,439-450)
             try:
@@ -206,8 +209,8 @@ def train_speaker_encoder(params, dataset, cfg: SpeakerEncoderConfig,
     n_epochs = n_epochs if n_epochs is not None else lc.n_epochs
     log_freq = log_freq if log_freq is not None else lc.log_freq
     save_freq = save_freq if save_freq is not None else lc.save_freq
-    model_name = model_name or lc.model_name
-    save_dir = save_dir or lc.save_dir
+    model_name = lc.model_name if model_name is None else model_name
+    save_dir = lc.save_dir if save_dir is None else save_dir
 
     tx = schedules.make_optimizer(oc, steps_per_epoch,
                                   dim_model=cfg.embedding_size)

@@ -8,7 +8,7 @@ import os
 import sys
 
 
-def retrieve_file_paths(paths, excluded=(), extensions=(".wav", ".flac")):
+def retrieve_file_paths(paths, excluded=(), extensions=(".wav",)):
     """Recursively resolve a path / list of paths into a sorted list of audio
     files, skipping anything under ``excluded`` (utils/__init__.py:4-34)."""
     if isinstance(paths, (str, os.PathLike)):

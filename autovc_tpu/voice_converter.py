@@ -41,11 +41,19 @@ class VoiceConverter:
                  speaker_encoder_params: Dict[str, Any] | None = None,
                  vocoder_params: Dict[str, Any] | None = None,
                  wandb_params: Dict[str, Any] | None = None,
-                 verbose: bool = True):
+                 verbose: bool = True,
+                 rnn_backend: str | None = None,
+                 vocoder_backend: str | None = None):
         """Build a converter from checkpoint names/paths + config overrides.
 
         Unlike the reference (which mutates module-level dicts in place,
         voice_converter.py:67-70), overrides merge into an immutable config.
+
+        ``rnn_backend`` / ``vocoder_backend`` select the inference kernels:
+        'auto' (Pallas on TPU — bf16 LSTM kernels, ~1e-2 abs divergence from
+        the f32 scans), 'xla' (exact-parity `lax.scan`), or 'pallas'.
+        Defaults come from ``AUTOVC_RNN_BACKEND`` / ``AUTOVC_VOCODER_BACKEND``
+        env vars, falling back to 'auto'.
         """
         cfg = config or ConverterConfig()
         if auto_encoder_params:
@@ -59,6 +67,11 @@ class VoiceConverter:
         self.config = cfg
         self.verbose = verbose
         self.logger: MetricsLogger | None = None
+        self.rnn_backend = (rnn_backend
+                            or os.environ.get("AUTOVC_RNN_BACKEND", "auto"))
+        self.vocoder_backend = (
+            vocoder_backend
+            or os.environ.get("AUTOVC_VOCODER_BACKEND", "auto"))
 
         self.AE = load_model("auto_encoder", auto_encoder,
                              cfg.auto_encoder.model_dir, cfg.auto_encoder,
@@ -86,6 +99,19 @@ class VoiceConverter:
             wav = io.resample(wav, audio.sr, self.SE.config.spectrogram.sr)
         return SEm.embed_utterance(self.SE.params, wav, self.SE.config)
 
+    def _ae_params(self, use_ema: bool):
+        """Auto-encoder params, optionally the EMA-smoothed copy saved by
+        training (rides in the checkpoint as ``ema_params``)."""
+        if not use_ema:
+            return self.AE.params
+        ema = self.AE.extras.get("ema_params")
+        if ema is None:
+            raise ValueError(
+                "use_ema=True but the auto-encoder checkpoint carries no "
+                "'ema_params' (train first, or load a checkpoint saved by "
+                "this framework's training loop)")
+        return ema
+
     def _speaker_embedding(self, target, preprocess, preprocess_args,
                            sr) -> np.ndarray:
         """Registry lookup by name, else embed the utterance file."""
@@ -105,13 +131,16 @@ class VoiceConverter:
                 outprocess=None, outprocess_args=None,
                 cut: bool = True, overlap: float = 0.5,
                 audio_log_dict: Dict[str, Any] | None = None,
-                seed: int = 0, **mel_kwargs):
+                seed: int = 0, use_ema: bool = False, **mel_kwargs):
         """Convert the content of ``source`` into the voice of ``target``.
 
         Mirrors voice_converter.py:88-211.  ``target`` may be a wav path or a
         learned mean-speaker name.  ``save_name=False`` skips saving;
         ``save_dir='wandb'`` logs the audio to the active run.
-        Returns the converted :class:`Audio`.
+        ``use_ema=True`` runs the auto-encoder with its EMA-smoothed
+        parameters (the reference keeps an EMA copy it never uses,
+        auto_encoder/model.py:321,379-392).  Returns the converted
+        :class:`Audio`.
         """
         import jax
 
@@ -140,21 +169,25 @@ class VoiceConverter:
 
         ae_cfg = self.AE.config
         mel_cfg = ae_cfg.spectrogram
+        ae_params = self._ae_params(use_ema)
         # post_mel stays on device between the AE and vocoder stages; only
         # the finished waveform crosses the host boundary.
         if cut:
             chunks, _ = dsp.mel_spec_auto_encoder_sliced(
                 audio_src.wav, mel_cfg, overlap=overlap)
             post_mel = AEm.batch_forward_jit(
-                self.AE.params, chunks, c_source, c_target, ae_cfg, overlap)
+                ae_params, chunks, c_source, c_target, ae_cfg, overlap,
+                self.rnn_backend)
         else:
             mel = dsp.mel_spec_auto_encoder(audio_src.wav, mel_cfg)
-            post_mel = AEm.infer(self.AE.params, mel[None],
-                                 c_source, c_target, ae_cfg)[0]
+            post_mel = AEm.infer(ae_params, mel[None],
+                                 c_source, c_target, ae_cfg,
+                                 rnn_backend=self.rnn_backend)[0]
 
         waveform = WRm.generate(self.vocoder.params, post_mel[None],
                                 self.vocoder.config,
-                                key=jax.random.PRNGKey(seed))
+                                key=jax.random.PRNGKey(seed),
+                                backend=self.vocoder_backend)
 
         audio_out = Audio(waveform, sr=sr, sr_org=mel_cfg.sr)
         audio_out.preprocess(*outprocess, **outprocess_args)
@@ -198,7 +231,7 @@ class VoiceConverter:
                       preprocess=None, preprocess_args=None,
                       outprocess=None, outprocess_args=None,
                       overlap: float = 0.5, seed: int = 0,
-                      save_dir=None):
+                      save_dir=None, use_ema: bool = False):
         """Batch-serving conversion: many sources -> one target voice in one
         device pass per stage.
 
@@ -239,14 +272,17 @@ class VoiceConverter:
         # Per-utterance AE conversion + overlap-add merge on device (async
         # dispatch pipelines the utterances), then one joint vocoder pass —
         # nothing but the finished waveforms crosses the host boundary.
+        ae_params = self._ae_params(use_ema)
         post_mels = [
-            AEm.batch_forward_jit(self.AE.params, chunks, c_org[None],
-                                  c_target, ae_cfg, overlap)
+            AEm.batch_forward_jit(ae_params, chunks, c_org[None],
+                                  c_target, ae_cfg, overlap,
+                                  self.rnn_backend)
             for chunks, c_org in zip(all_chunks, c_orgs)]
 
         wavs = WRm.generate_many(self.vocoder.params, post_mels,
                                  self.vocoder.config,
-                                 key=jax.random.PRNGKey(seed))
+                                 key=jax.random.PRNGKey(seed),
+                                 backend=self.vocoder_backend)
         outs = []
         for src, wav in zip(sources, wavs):
             audio_out = Audio(wav, sr=sr,

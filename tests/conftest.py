@@ -22,6 +22,16 @@ import pytest
 SAMPLES_DIR = "/root/reference/data/samples"
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _isolate_cwd(tmp_path_factory):
+    """Run the whole suite from a temp cwd so repo-relative writes
+    (``logs/``, ``results/``, ``models/``) never mutate the repository."""
+    cwd = os.getcwd()
+    os.chdir(tmp_path_factory.mktemp("cwd"))
+    yield
+    os.chdir(cwd)
+
+
 @pytest.fixture(scope="session")
 def sample_wav():
     """A short real utterance at 22050 Hz (auto-encoder rate)."""
