@@ -58,12 +58,59 @@ def default_config(model_type: str):
             "vocoder": WaveRNNConfig}[model_type]()
 
 
+def artifact_cache_dir() -> str:
+    """Local model-artifact cache (name -> file), the offline half of the
+    reference's wandb artifact registry (voice_converter.py:462-478)."""
+    return os.path.expanduser(
+        os.environ.get("AUTOVC_MODEL_CACHE", "~/.cache/autovc_tpu/models"))
+
+
+def resolve_artifact(model_name: str, model_dir: str,
+                     verbose: bool = True) -> str | None:
+    """Resolve a checkpoint name to a local file.
+
+    Resolution order mirrors the reference's artifact lookup
+    (voice_converter.py:460-478): explicit path -> model_dir/name -> the
+    local artifact cache -> a wandb artifact download when a run is live.
+    Returns None when the name cannot be resolved.
+    """
+    if os.path.isfile(model_name):
+        return model_name
+    cand = os.path.join(model_dir.rstrip("/"), model_name)
+    if os.path.isfile(cand):
+        return cand
+    cached = os.path.join(artifact_cache_dir(), model_name)
+    if os.path.isfile(cached):
+        return cached
+    # wandb artifact fetch (reference voice_converter.py:462-478): only when
+    # a run is active — never from unit tests / offline use.
+    try:
+        import wandb
+        if wandb.run is not None:
+            name = os.path.splitext(model_name)[0]
+            artifact = wandb.run.use_artifact(f"{name}:latest")
+            adir = artifact.download(root=artifact_cache_dir())
+            for f in sorted(os.listdir(adir)):
+                if f == model_name or f.startswith(name):
+                    return os.path.join(adir, f)
+    except Exception as e:
+        if verbose:
+            print(f"[registry] wandb artifact lookup for "
+                  f"'{model_name}' failed: {e}")
+    return None
+
+
 def load_model(model_type: str, model_name: str | None = None,
                model_dir: str | None = None, config=None,
-               seed: int = 0, verbose: bool = True) -> LoadedModel:
+               seed: int = 0, verbose: bool = True,
+               missing_ok: bool = False) -> LoadedModel:
     """Construct (and optionally restore) one model.
 
-    Resolution order: explicit path -> model_dir/model_name -> fresh init.
+    Resolution order: explicit path -> model_dir/model_name -> artifact
+    cache -> wandb artifact (when a run is live) -> error.  A missing
+    *requested* checkpoint raises (a typo'd name must not silently train
+    from scratch); ``model_name=None`` or ``missing_ok=True`` opts into
+    fresh init.
     """
     if model_type not in MODEL_TYPES:
         raise ValueError(f"'{model_type}' is not a supported model_type; "
@@ -71,17 +118,21 @@ def load_model(model_type: str, model_name: str | None = None,
     config = config if config is not None else default_config(model_type)
     model_dir = model_dir if model_dir is not None else config.model_dir
 
-    path = None
-    if model_name:
-        cand = (model_name if os.path.isfile(model_name)
-                else os.path.join(model_dir.rstrip("/"), model_name))
-        if os.path.isfile(cand):
-            path = cand
+    path = resolve_artifact(model_name, model_dir,
+                            verbose=verbose) if model_name else None
 
     if path is None:
+        if model_name and not missing_ok:
+            raise FileNotFoundError(
+                f"[{model_type}] checkpoint '{model_name}' not found: not a "
+                f"file, not in '{model_dir}', not in the artifact cache "
+                f"('{artifact_cache_dir()}'), and no live wandb run to fetch "
+                f"from.  Pass model_name=None for a fresh init, or "
+                f"missing_ok=True to fall back to one explicitly.")
         if verbose:
-            print(f"[{model_type}] no checkpoint found "
-                  f"({model_name!r} in {model_dir!r}); using fresh init")
+            tag = (f"requested '{model_name}' missing; " if model_name
+                   else "no checkpoint requested; ")
+            print(f"[{model_type}] {tag}using fresh init")
         return LoadedModel(model_type, _init_params(model_type, config, seed),
                            config)
 

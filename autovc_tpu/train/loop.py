@@ -200,9 +200,13 @@ def train_speaker_encoder(params, dataset, cfg: SpeakerEncoderConfig,
                           save_dir: str | None = None,
                           logger=None, verbose: bool = True,
                           speakers: Dict[str, np.ndarray] | None = None,
-                          start_step: int = 0,
+                          start_step: int = 0, resume: bool = False,
                           opt_overrides: Dict[str, Any] | None = None):
-    """GE2E training (speaker_encoder/model.py:276-408)."""
+    """GE2E training (speaker_encoder/model.py:276-408).
+
+    ``resume=True`` restores params + optimizer state + step + the speaker
+    registry from the newest checkpoint in ``save_dir`` — the same exact
+    preemption recovery as :func:`train_autoencoder`."""
     lc, oc = cfg.learn, cfg.optimizer
     if opt_overrides:
         oc = oc.with_overrides(**opt_overrides)
@@ -215,6 +219,21 @@ def train_speaker_encoder(params, dataset, cfg: SpeakerEncoderConfig,
     tx = schedules.make_optimizer(oc, steps_per_epoch,
                                   dim_model=cfg.embedding_size)
     opt_state = tx.init(params)
+
+    if resume:
+        from autovc_tpu.utils.checkpoint import (latest_checkpoint,
+                                                 load_checkpoint)
+        latest = latest_checkpoint(save_dir)
+        if latest is not None:
+            blob = load_checkpoint(latest)
+            params = blob["params"]
+            opt_state = blob.get("opt_state", opt_state)
+            start_step = int(blob.get("step", start_step) or 0)
+            if speakers is not None:
+                speakers.update(blob.get("speakers", {}))
+            if verbose:
+                print(f"Resumed from '{latest}' at step {start_step}")
+
     step_fn = make_se_step(cfg, tx)
 
     n_total = n_epochs * steps_per_epoch
@@ -289,11 +308,25 @@ def train_vocoder(params, dataset, cfg: WaveRNNConfig,
                   lr: float = 1e-4, log_freq: int = 10,
                   model_name: str | None = None,
                   save_dir: str | None = None, logger=None,
-                  verbose: bool = True, start_step: int = 0):
+                  verbose: bool = True, start_step: int = 0,
+                  resume: bool = False):
     from autovc_tpu.config import OptimizerConfig
     oc = OptimizerConfig(lr=lr, lr_scheduler="constant", grad_clip_norm=4.0)
     tx = schedules.make_optimizer(oc, steps_per_epoch)
     opt_state = tx.init(params)
+
+    if resume:
+        from autovc_tpu.utils.checkpoint import (latest_checkpoint,
+                                                 load_checkpoint)
+        latest = latest_checkpoint(save_dir or cfg.model_dir)
+        if latest is not None:
+            blob = load_checkpoint(latest)
+            params = blob["params"]
+            opt_state = blob.get("opt_state", opt_state)
+            start_step = int(blob.get("step", start_step) or 0)
+            if verbose:
+                print(f"Resumed from '{latest}' at step {start_step}")
+
     step_fn = make_vocoder_step(cfg, tx)
     step = start_step
     n_total = n_epochs * steps_per_epoch
