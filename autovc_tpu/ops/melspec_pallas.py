@@ -1,8 +1,15 @@
-"""Fused Pallas mel-spectrogram kernel (SURVEY.md §7 phase-1 kernel).
+"""Fused Pallas mel-spectrogram kernel — EXPERIMENTAL / superseded.
 
-The XLA path (ops/melspec.py) runs the windowed DFT and the mel projection
-as separate matmuls, materialising the (T, 1025) magnitude spectrogram in
-HBM between them.  This kernel fuses the whole chain per tile:
+Status: the production device mel path is ``ops/melspec.py``, whose
+hop-decomposed gather-free framing reaches 0.32 ms for a 7 s clip on v5e;
+this kernel still frames via the XLA gather (~8 ms dominated by the gather
+itself), so fusing the DFT+mel matmuls saves nothing measurable (the fused
+intermediate is only ~2 MB).  It is retained as a worked example of a
+grid-accumulator Pallas kernel and exercised in interpret mode by
+tests/test_melspec_pallas.py; do not wire it into the pipeline without
+re-benchmarking.
+
+The kernel fuses the chain per tile:
 
     frames (FB, n_fft) @ [cos|sin] (n_fft, BB)  ->  re, im      (MXU)
     mag = sqrt(re^2 + im^2)                                      (VPU)
@@ -10,12 +17,13 @@ HBM between them.  This kernel fuses the whole chain per tile:
     last bin-block: dB + [0,1] normalisation epilogue            (VPU)
 
 Grid = (frame blocks, bin blocks); the mel accumulator tile is revisited
-across the bin-block dimension so the magnitude never leaves VMEM.  The
-cos/sin/fb operands stream through VMEM via the BlockSpec pipeline.
+across the bin-block dimension so the magnitude never leaves VMEM.
 
-Numerics: f32 operands with f32 accumulation — matches the host/XLA mel
-front-ends within the librosa-parity budget (rtol 1e-3; tested in
-tests/test_melspec_pallas.py).
+Numerics: MXU matmuls on f32 operands run ONE bf16 pass by default, which
+drifts the normalised mel by ~0.16 absolute on real hardware (measured on
+v5e); the dots here therefore run a 3-pass hi/lo-bf16 split (the
+Precision.HIGH decomposition) for ~5e-4 absolute agreement with the
+host/XLA front-ends.
 """
 from __future__ import annotations
 
@@ -38,6 +46,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _split_hi_lo(a):
+    """f32 -> (hi, lo) bf16 pair with a ~= hi + lo."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a, b):
+    """3-pass f32 matmul on the MXU (Precision.HIGH decomposition): a single
+    bf16 pass loses ~3 decimal digits of the operands, which shows up as
+    ~0.16 absolute drift on the normalised mel."""
+    a_hi, a_lo = _split_hi_lo(a)
+    b_hi, b_lo = _split_hi_lo(b)
+    f32 = jnp.float32
+    return (jnp.dot(a_hi, b_hi, preferred_element_type=f32)
+            + jnp.dot(a_hi, b_lo, preferred_element_type=f32)
+            + jnp.dot(a_lo, b_hi, preferred_element_type=f32))
+
+
 def _kernel(frames_ref, cos_ref, sin_ref, fb_ref, out_ref, *,
             n_bin_blocks, epilogue):
     j = pl.program_id(1)
@@ -46,14 +73,11 @@ def _kernel(frames_ref, cos_ref, sin_ref, fb_ref, out_ref, *,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    re = jnp.dot(frames_ref[...], cos_ref[...],
-                 preferred_element_type=jnp.float32)
-    im = jnp.dot(frames_ref[...], sin_ref[...],
-                 preferred_element_type=jnp.float32)
+    re = _dot3(frames_ref[...], cos_ref[...])
+    im = _dot3(frames_ref[...], sin_ref[...])
     mag = jnp.sqrt(re * re + im * im) if epilogue == "db_norm" \
         else re * re + im * im                       # power for the SE path
-    out_ref[...] += jnp.dot(mag, fb_ref[...],
-                            preferred_element_type=jnp.float32)
+    out_ref[...] += _dot3(mag, fb_ref[...])
 
     @pl.when(j == n_bin_blocks - 1)
     def _():

@@ -1,0 +1,250 @@
+"""Roofline / MFU accounting for the hot paths (BASELINE.md: "STFT, conv,
+LSTM-scan, WaveRNN sampling at speed-of-light per chip").
+
+Analytic FLOP and HBM-byte counts for each pipeline component, plus chip
+peak tables, so the benchmark can report achieved TFLOP/s, GB/s, %-of-peak
+and whether a component is compute- or bandwidth-bound — instead of bare
+wall-clock numbers.
+
+Cost-model conventions:
+  * a matmul (M,K)x(K,N) counts 2*M*K*N FLOPs;
+  * HBM bytes are the *minimum* traffic for the implementation strategy we
+    actually use (e.g. the Pallas WaveRNN kernel holds all weights in VMEM,
+    so per-step traffic is just the streamed conditioning block — the XLA
+    scan variant re-reads weights every step and is modeled as such);
+  * %-of-peak uses the matmul compute dtype's peak (bf16 on the Pallas
+    paths, f32 elsewhere).
+
+For an autoregressive sampler the roofline is NOT the right ceiling — the
+sequential dependency means each step pays a latency floor regardless of
+arithmetic intensity; we report steps/s against a per-step latency model as
+the third bound.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ChipSpec:
+    name: str
+    peak_bf16_tflops: float      # dense matmul peak, bf16 inputs
+    peak_f32_tflops: float       # f32 matmul peak (MXU passes)
+    hbm_gbs: float               # HBM bandwidth, GB/s
+
+
+# Published per-chip numbers (cloud.google.com/tpu/docs system architecture
+# pages).  f32 matmul peak is ~1/4 of bf16 on v4+ (MXU multi-pass), ~1/2 on
+# v2/v3.
+_CHIPS = {
+    "v2": ChipSpec("TPU v2", 46.0, 23.0, 700.0),
+    "v3": ChipSpec("TPU v3", 123.0, 61.0, 900.0),
+    "v4": ChipSpec("TPU v4", 275.0, 68.0, 1228.0),
+    "v5 lite": ChipSpec("TPU v5e", 197.0, 49.0, 819.0),
+    "v5e": ChipSpec("TPU v5e", 197.0, 49.0, 819.0),
+    "v5p": ChipSpec("TPU v5p", 459.0, 115.0, 2765.0),
+    "v6": ChipSpec("TPU v6e (Trillium)", 918.0, 230.0, 1640.0),
+}
+
+_FALLBACK = ChipSpec("unknown accelerator", 100.0, 50.0, 800.0)
+
+
+def chip_spec(device_kind: str | None = None) -> ChipSpec:
+    """Map a ``jax.devices()[0].device_kind`` string to peak numbers."""
+    if device_kind is None:
+        import jax
+        device_kind = jax.devices()[0].device_kind
+    kind = device_kind.lower()
+    for key in sorted(_CHIPS, key=len, reverse=True):
+        if key in kind:
+            return _CHIPS[key]
+    return _FALLBACK
+
+
+# ---------------------------------------------------------------------------
+# Component cost models (FLOPs, HBM bytes)
+# ---------------------------------------------------------------------------
+
+
+def matmul_flops(m: int, k: int, n: int) -> int:
+    return 2 * m * k * n
+
+
+def conv1d_flops(batch: int, t: int, c_in: int, c_out: int, k: int) -> int:
+    return 2 * batch * t * c_in * c_out * k
+
+
+def lstm_flops(batch: int, t: int, d_in: int, hidden: int) -> int:
+    """Fused-gate LSTM layer: per step one (B,I)x(I,4H) + one (B,H)x(H,4H)."""
+    return 2 * batch * t * (d_in * 4 * hidden + hidden * 4 * hidden)
+
+
+def gru_flops(batch: int, t: int, d_in: int, hidden: int) -> int:
+    return 2 * batch * t * (d_in * 3 * hidden + hidden * 3 * hidden)
+
+
+def melspec_cost(n_frames: int, n_fft: int = 2048, n_mels: int = 80,
+                 win: int = 1100):
+    """DFT-as-matmul front-end (ops/melspec.py): frame matrix (F, n_fft)
+    against the (n_fft, 2*(n_fft//2+1)) DFT basis, then the mel projection.
+    Bytes: wav in + frames materialised + DFT basis + mel out."""
+    n_freq = n_fft // 2 + 1
+    flops = matmul_flops(n_frames, n_fft, 2 * n_freq)
+    flops += matmul_flops(n_frames, n_freq, n_mels)
+    flops += 6 * n_frames * n_freq          # |.|^2, sqrt, dB, normalise
+    bytes_ = 4 * (n_frames * n_fft          # framed+windowed input
+                  + n_fft * 2 * n_freq      # DFT basis (read once)
+                  + n_frames * n_freq       # magnitude intermediate
+                  + n_frames * n_mels)      # mel out
+    return flops, bytes_
+
+
+def ae_forward_cost(cfg, batch: int, t: int):
+    """AutoVC generator forward (models/autoencoder.py): conv stacks + LSTMs.
+
+    Weight bytes counted once (weights fit in cache/VMEM per fusion), f32
+    activations in/out per layer.
+    """
+    n, e, p = cfg.n_mels, cfg.dim_emb, cfg.dim_pre
+    neck = cfg.dim_neck
+    flops = 0
+    # encoder: 3 convs + 2-layer BLSTM
+    flops += conv1d_flops(batch, t, n + e, 512, 5)
+    flops += 2 * conv1d_flops(batch, t, 512, 512, 5)
+    flops += 2 * lstm_flops(batch, t, 512, neck)          # fwd+bwd layer 1
+    flops += 2 * lstm_flops(batch, t, 2 * neck, neck)     # fwd+bwd layer 2
+    # decoder: lstm1 + 3 convs + 2-layer lstm2 + proj
+    flops += lstm_flops(batch, t, 2 * neck + e, p)
+    flops += 3 * conv1d_flops(batch, t, p, p, 5)
+    flops += lstm_flops(batch, t, p, 1024)
+    flops += lstm_flops(batch, t, 1024, 1024)
+    flops += matmul_flops(batch * t, 1024, n)
+    # postnet: 5 convs
+    flops += conv1d_flops(batch, t, n, 512, 5)
+    flops += 3 * conv1d_flops(batch, t, 512, 512, 5)
+    flops += conv1d_flops(batch, t, 512, n, 5)
+
+    weight_bytes = 4 * (
+        (n + e) * 512 * 5 + 2 * 512 * 512 * 5
+        + 2 * 4 * neck * (512 + neck) + 2 * 4 * neck * (2 * neck + neck)
+        + 4 * p * (2 * neck + e + p) + 3 * p * p * 5
+        + 4 * 1024 * (p + 1024) + 4 * 1024 * 2048 + 1024 * n
+        + n * 512 * 5 + 3 * 512 * 512 * 5 + 512 * n * 5)
+    act_bytes = 4 * batch * t * (n + 512 * 3 + 2 * neck + p * 4
+                                 + 1024 * 2 + n * 2 + 512 * 5)
+    return flops, weight_bytes + act_bytes
+
+
+def ae_train_cost(cfg, batch: int, t: int):
+    """Train step ~= forward + content_codes(recon) + backward (2x)."""
+    fwd_flops, fwd_bytes = ae_forward_cost(cfg, batch, t)
+    # the loss re-encodes the reconstruction (autoencoder.loss): ~40% of fwd
+    enc_flops = int(0.4 * fwd_flops)
+    total = (fwd_flops + enc_flops) * 3
+    return total, fwd_bytes * 3
+
+
+def wavernn_step_cost(cfg, batch: int):
+    """ONE sampling step of the Pallas WaveRNN kernel (per-batch-row cost).
+
+    FLOPs: 4 gate matmuls (rd x 3rd) + fc1 + fc2 + fc3(->128 lanes).
+    HBM bytes: only the streamed conditioning block (weights are
+    VMEM-resident), bf16.
+    """
+    rd, fc = cfg.rnn_dims, cfg.fc_dims
+    flops = 2 * batch * (4 * rd * 3 * rd + rd * fc + fc * fc + fc * 128)
+    d_stream = rd + 3 * rd + 2 * fc + 128
+    bytes_ = batch * d_stream * 2           # bf16 stream
+    return flops, bytes_
+
+
+def wavernn_xla_step_cost(cfg, batch: int):
+    """Same step under the XLA scan: weights re-streamed from HBM each
+    step (f32)."""
+    rd, fc = cfg.rnn_dims, cfg.fc_dims
+    flops, _ = wavernn_step_cost(cfg, batch)
+    weight_bytes = 4 * (4 * rd * 3 * rd + rd * fc + fc * fc + fc * 128)
+    d_stream = rd + 3 * rd + 2 * fc + 128
+    return flops, weight_bytes + batch * d_stream * 4
+
+
+def wavernn_conditioning_cost(cfg, batch: int, t: int):
+    """Upsample network + fold, per generated sample
+    (models/wavernn._prepare_conditioning: pad + upsample + fold).  The
+    hoisted input projections happen inside the sampling call's prologue —
+    see :func:`wavernn_prologue_cost`."""
+    feat, comp, ro = cfg.feat_dims, cfg.compute_dims, cfg.res_out_dims
+    frames = t // cfg.total_scale
+    flops = conv1d_flops(batch, frames, feat, comp, 2 * cfg.pad + 1)
+    flops += cfg.res_blocks * 2 * conv1d_flops(batch, frames, comp, comp, 1)
+    flops += conv1d_flops(batch, frames, comp, ro, 1)
+    # banded upsample kernel ~ one k-tap filter per sample
+    flops += 2 * batch * t * feat * (2 * cfg.upsample_factors[-1] + 1)
+    # bytes: (cond + aux) written at sample rate, then re-read + re-written
+    # by the overlap fold
+    g = cfg.generate
+    dup = (g.target + 2 * g.overlap) / g.target
+    bytes_ = 4 * batch * t * (feat + ro) * (1 + 2 * dup)
+    return flops, bytes_
+
+
+def wavernn_prologue_cost(cfg, folds: int, t_steps: int):
+    """Hoisted per-step input projections + noise packing inside
+    generate_scan_pallas (ops/wavernn_pallas.py:164-196)."""
+    rd, fc, d = cfg.rnn_dims, cfg.fc_dims, cfg.aux_dims
+    feat = cfg.feat_dims
+    flops = 2 * folds * t_steps * ((feat + d) * rd + d * 3 * rd
+                                   + 2 * d * fc)
+    d_stream = rd + 3 * rd + 2 * fc + 128
+    bytes_ = folds * t_steps * (4 * (feat + 4 * d) + 2 * d_stream)
+    return flops, bytes_
+
+
+# ---------------------------------------------------------------------------
+# Reporting
+# ---------------------------------------------------------------------------
+
+
+def account(name: str, flops: float, hbm_bytes: float, seconds: float,
+            spec: ChipSpec, compute_dtype: str = "f32",
+            sequential_steps: int | None = None):
+    """Return an accounting dict: achieved rates, %-of-peak, binding bound."""
+    peak_tf = (spec.peak_bf16_tflops if compute_dtype == "bf16"
+               else spec.peak_f32_tflops)
+    t_compute = flops / (peak_tf * 1e12)
+    t_memory = hbm_bytes / (spec.hbm_gbs * 1e9)
+    achieved_tf = flops / seconds / 1e12
+    achieved_gbs = hbm_bytes / seconds / 1e9
+    bound = "compute" if t_compute >= t_memory else "bandwidth"
+    sol = max(t_compute, t_memory)
+    entry = {
+        "component": name,
+        "flops": int(flops),
+        "hbm_bytes": int(hbm_bytes),
+        "seconds": round(seconds, 6),
+        "achieved_tflops": round(achieved_tf, 3),
+        "achieved_gbs": round(achieved_gbs, 2),
+        "mfu_pct": round(100 * achieved_tf / peak_tf, 2),
+        "hbm_pct": round(100 * achieved_gbs / spec.hbm_gbs, 2),
+        "bound": bound,
+        "sol_seconds": round(sol, 6),
+        "sol_fraction": round(sol / seconds, 4) if seconds > 0 else 0.0,
+        "compute_dtype": compute_dtype,
+    }
+    if sequential_steps:
+        # latency-bound autoregressive loop: amortised per-step time
+        entry["us_per_step"] = round(1e6 * seconds / sequential_steps, 3)
+    return entry
+
+
+def format_table(entries) -> str:
+    hdr = (f"{'component':<26}{'time':>9}{'TF/s':>8}{'GB/s':>8}"
+           f"{'MFU%':>7}{'HBM%':>7}{'bound':>11}{'SoL%':>7}")
+    lines = [hdr, "-" * len(hdr)]
+    for e in entries:
+        lines.append(
+            f"{e['component']:<26}{e['seconds']*1e3:>7.1f}ms"
+            f"{e['achieved_tflops']:>8.2f}{e['achieved_gbs']:>8.1f}"
+            f"{e['mfu_pct']:>7.2f}{e['hbm_pct']:>7.2f}{e['bound']:>11}"
+            f"{100*e['sol_fraction']:>6.1f}%")
+    return "\n".join(lines)

@@ -1,30 +1,37 @@
 """Benchmark harness — runs on the real TPU chip.
 
-Measures the end-to-end conversion pipeline (mel -> AutoVC -> WaveRNN) plus
-component benches, and prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Measures the end-to-end conversion pipeline (mel -> AutoVC -> WaveRNN), the
+per-component rooflines (MFU / HBM%% / bound, utils/roofline.py), a
+cross-backend numerical-equivalence gate (Pallas bf16 kernels vs the exact
+XLA f32 paths), and training-step throughput.  Prints ONE JSON line:
 
-Headline metric: converted audio-seconds per wall-clock second per chip.
+  {"metric": "serve_audio_seconds_per_second_per_chip", "value": N,
+   "unit": "audio-s/s", "vs_baseline": N}
+
+Headline metric: BATCH-SERVING conversion throughput (all 8 bundled sample
+utterances converted in one pass) — named honestly as serving; the
+single-stream number is reported alongside in bench_details.json and stderr.
 Baseline anchor: the reference's only stated performance claim is
 "realtime+" batched WaveRNN generation (utils/hparams.py:109, i.e. 1.0
 audio-second/s at 22.05 kHz output), so vs_baseline = value / 1.0.
 """
 from __future__ import annotations
 
+import glob
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+SAMPLES = os.environ.get("AUTOVC_BENCH_SAMPLES",
+                         "/root/reference/data/samples")
+N_RUNS = int(os.environ.get("AUTOVC_BENCH_RUNS", "3"))
 
-def main():
-    import os
 
+def _setup_cache():
     import jax
-
-    # Persistent XLA compilation cache: the WaveRNN sampling scan + AE convert
-    # graphs take minutes to compile cold; warm runs then start instantly.
     cache_dir = os.path.expanduser(
         os.environ.get("AUTOVC_XLA_CACHE", "~/.cache/autovc_tpu_xla"))
     try:
@@ -34,10 +41,68 @@ def main():
     except Exception:
         pass
 
+
+def _sync(out):
+    """Force completion of ``out``'s computation.
+
+    On the axon tunnel platform ``jax.block_until_ready`` returns before the
+    device has finished, so we pull one element to the host — device
+    execution is in-order, so the tiny transfer waits for everything
+    dispatched before it.
+    """
+    import jax
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ravel") and not isinstance(leaf, np.ndarray):
+            np.asarray(leaf.ravel()[0:1])
+            return
+    # host-side results (np arrays) are already synchronous
+
+
+def _timeit(fn, max_k: int = 64, budget_s: float = 0.6):
+    """Per-call device time via differential dispatch timing.
+
+    The tunnel round-trip (~30 ms) dwarfs small kernels, so we time one
+    synced call (t1) and then K async dispatches with a single final sync
+    (tK); the per-op time is (tK - t1)/(K - 1), which cancels the RTT and
+    the sync cost exactly.  Returns (seconds_per_call, compile_s, last_out).
+    """
+    t0 = time.time()
+    out = fn(0)
+    _sync(out)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    out = fn(1)
+    _sync(out)
+    t1 = time.time() - t0
+    K = max(2, min(max_k, int(budget_s / max(t1, 1e-3))))
+    t0 = time.time()
+    for i in range(2, 2 + K):
+        out = fn(i)
+    _sync(out)
+    tK = time.time() - t0
+    per_op = (tK - t1) / (K - 1) if K > 1 else t1
+    # a K-dispatch burst can't beat the laws of physics; clamp to sane range
+    return max(per_op, 1e-7), compile_s, out
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    _setup_cache()
+
     from autovc_tpu.audio import dsp, io
     from autovc_tpu.config import AutoEncoderConfig, WaveRNNConfig
     from autovc_tpu.models import autoencoder as AE
     from autovc_tpu.models import wavernn as WR
+    from autovc_tpu.utils import roofline as RL
+
+    on_tpu = jax.default_backend() == "tpu"
+    spec = RL.chip_spec()
+    details = {"device_kind": jax.devices()[0].device_kind,
+               "chip": spec.name, "n_runs": N_RUNS,
+               "rooflines": [], "equivalence": {}}
+    entries = details["rooflines"]
 
     ae_cfg = AutoEncoderConfig()
     wr_cfg = WaveRNNConfig()
@@ -45,113 +110,189 @@ def main():
     ae_params = AE.init(key, ae_cfg)
     wr_params = WR.init(key, wr_cfg)
 
-    # ~7 s of real audio from the bundled samples.
-    wav, sr = io.load_wav("/root/reference/data/samples/hilde_1.wav",
-                          sr=22050)
-    audio_seconds = len(wav) / sr
+    paths = sorted(glob.glob(os.path.join(SAMPLES, "*.wav")))
+    if not paths:
+        print(f"# no sample wavs under {SAMPLES}; synthesising 7 s of noise",
+              file=sys.stderr)
+        synth = np.random.default_rng(0).uniform(
+            -0.3, 0.3, 7 * 22050).astype(np.float32)
+        wavs = [synth]
+    else:
+        wavs = [io.load_wav(p, sr=22050)[0] for p in paths]
+    wav = wavs[0]
+    audio_seconds = len(wav) / 22050.0
 
-    # Host mel front-end + slicing (part of the pipeline, host-side).
     chunks, _ = dsp.mel_spec_auto_encoder_sliced(wav, ae_cfg.spectrogram)
     c = np.zeros((1, 256), np.float32)
     c[0, 0] = 1.0
+    M, _, N = chunks.shape
 
-    def convert_once(seed: int):
-        # mel stays on device between the AE and vocoder stages; only the
-        # finished waveform crosses the host boundary.
-        post = AE.batch_forward_jit(ae_params, chunks, c, c, ae_cfg)
-        wav_out = WR.generate(wr_params, post[None], wr_cfg,
-                              key=jax.random.PRNGKey(seed))
-        return wav_out
+    # ---- component: device mel front-end --------------------------------
+    from autovc_tpu.ops import melspec as dev_mel
+    wav_dev = jax.device_put(wav)
+    mel_dt, _, mel_out = _timeit(
+        lambda i: dev_mel.mel_spec_auto_encoder(wav_dev, ae_cfg.spectrogram))
+    fl, by = RL.melspec_cost(mel_out.shape[-1], ae_cfg.spectrogram.n_fft,
+                             ae_cfg.spectrogram.n_mels)
+    entries.append(RL.account("mel_frontend(xla)", fl, by, mel_dt, spec))
 
-    # Warmup / compile.
-    t0 = time.time()
-    out = convert_once(0)
-    compile_time = time.time() - t0
+    # ---- component: AE conversion forward -------------------------------
+    fl, by = RL.ae_forward_cost(ae_cfg, M, N)
+    ae_dt, _, _ = _timeit(
+        lambda i: AE.batch_forward_jit(ae_params, chunks, c, c, ae_cfg, 0.5,
+                                       "xla"))
+    entries.append(RL.account("ae_convert(xla,f32)", fl, by, ae_dt, spec))
+    if on_tpu:
+        ae_dt_p, _, _ = _timeit(
+            lambda i: AE.batch_forward_jit(ae_params, chunks, c, c, ae_cfg,
+                                           0.5, "pallas"))
+        entries.append(RL.account("ae_convert(pallas,bf16)", fl, by, ae_dt_p,
+                                  spec, compute_dtype="bf16"))
 
-    # Timed runs.
-    n_runs = 3
-    t0 = time.time()
-    for i in range(1, n_runs + 1):
-        out = convert_once(i)
-    dt = (time.time() - t0) / n_runs
-    throughput = audio_seconds / dt
+    # ---- component: WaveRNN conditioning + sampling kernel --------------
+    post = AE.batch_forward_jit(ae_params, chunks, c, c, ae_cfg, 0.5, "auto")
+    g = wr_cfg.generate
+    cond, aux = WR._prepare_conditioning(wr_params, jnp_asarray(post[None]),
+                                         wr_cfg, g.target, g.overlap, True)
+    n_folds = cond.shape[0]
+    bucket = -(-n_folds // 8) * 8
+    if bucket != n_folds:
+        pad_rows = ((0, bucket - n_folds), (0, 0), (0, 0))
+        cond = jnp.pad(cond, pad_rows)
+        aux = jnp.pad(aux, pad_rows)
+    T_steps = int(cond.shape[1])
 
-    # Component benches (reported to stderr for the record).
-    samples = len(out)
-    t0 = time.time()
-    post = np.asarray(AE.batch_forward_jit(ae_params, chunks, c, c, ae_cfg))
-    ae_dt = time.time() - t0
-    t0 = time.time()
-    WR.generate(wr_params, post[None], wr_cfg, key=jax.random.PRNGKey(9))
-    wr_dt = time.time() - t0
+    cond_dt, _, _ = _timeit(
+        lambda i: WR._prepare_conditioning(wr_params,
+                                           jnp_asarray(post[None]), wr_cfg,
+                                           g.target, g.overlap, True))
+    t_total = int(post.shape[-1] - 1) * wr_cfg.hop_length
+    fl, by = RL.wavernn_conditioning_cost(wr_cfg, 1, t_total)
+    entries.append(RL.account("wavernn_conditioning", fl, by, cond_dt, spec))
 
-    # ---- Batch serving: all 8 bundled sample utterances in one pass -----
-    # (the production-serving shape: the AE runs per utterance with async
-    # dispatch, the vocoder runs one union sampling loop over every
-    # utterance's folds — wavernn.generate_many.)
-    import glob
+    backend = "pallas" if on_tpu else "xla"
+    if backend == "pallas":
+        from autovc_tpu.ops import wavernn_pallas
+        samp_fn = lambda i: wavernn_pallas.generate_scan_pallas(
+            wr_params, cond, aux, jax.random.PRNGKey(i), wr_cfg, True)
+        fl_s, by_s = RL.wavernn_step_cost(wr_cfg, int(cond.shape[0]))
+        dt_name, dtype = "wavernn_sampling(pallas)", "bf16"
+    else:
+        samp_fn = lambda i: WR._generate_scan(
+            wr_params, cond, aux, jax.random.PRNGKey(i), wr_cfg, True, 4)
+        fl_s, by_s = RL.wavernn_xla_step_cost(wr_cfg, int(cond.shape[0]))
+        dt_name, dtype = "wavernn_sampling(xla)", "f32"
+    samp_dt, _, samples = _timeit(samp_fn)
+    fl_pro, by_pro = RL.wavernn_prologue_cost(wr_cfg, int(cond.shape[0]),
+                                              T_steps)
+    entries.append(RL.account(dt_name, fl_s * T_steps + fl_pro,
+                              by_s * T_steps + by_pro,
+                              samp_dt, spec, compute_dtype=dtype,
+                              sequential_steps=T_steps))
+    sample_rate = int(cond.shape[0]) * T_steps / samp_dt
 
-    paths = sorted(glob.glob("/root/reference/data/samples/*.wav"))
-    wavs = [io.load_wav(p, sr=22050)[0] for p in paths]
-    serve_audio_s = sum(len(w) for w in wavs) / 22050
-    chunk_sets = [dsp.mel_spec_auto_encoder_sliced(w, ae_cfg.spectrogram)[0]
-                  for w in wavs]
-
-    def serve_once(seed: int):
-        posts = [AE.batch_forward_jit(ae_params, ch, c, c, ae_cfg)
-                 for ch in chunk_sets]
-        return WR.generate_many(wr_params, posts, wr_cfg,
-                                key=jax.random.PRNGKey(seed))
-
-    t0 = time.time()
-    outs = serve_once(0)                       # warmup / compile
-    serve_compile = time.time() - t0
-    t0 = time.time()
-    for i in range(1, n_runs + 1):
-        outs = serve_once(i)
-    serve_dt = (time.time() - t0) / n_runs
-    serve_throughput = serve_audio_s / serve_dt
-
-    # ---- Training step throughput (BASELINE.md: train + convert) --------
+    # ---- component: AE train step ---------------------------------------
     import optax
 
     from autovc_tpu.train import loop as tloop
-
-    tx = optax.chain(optax.clip_by_global_norm(1.0),
-                     optax.adam(1e-3))
-    opt_state = tx.init(ae_params)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
     step_fn = tloop.make_ae_step(ae_cfg, tx, ema_decay=0.9999)
-    reps = -(-16 // len(chunks))
-    xb = np.ascontiguousarray(
-        np.tile(chunks, (reps, 1, 1))[:16].astype(np.float32))
+    reps = -(-16 // M)
+    xb = np.ascontiguousarray(np.tile(chunks, (reps, 1, 1))[:16]
+                              .astype(np.float32))
     cb = np.tile(c, (16, 1))
-    state = (ae_params, opt_state, ae_params)
-    state = step_fn(*state, xb, cb)[:3]          # warmup / compile
-    jax.block_until_ready(state)
-    t0 = time.time()
-    for _ in range(n_runs):
-        state = step_fn(*state, xb, cb)[:3]
-    jax.block_until_ready(state)
-    train_dt = (time.time() - t0) / n_runs
-    # batch 16 x 400 frames x 12.5 ms/frame of audio consumed per step
-    train_audio_s = 16 * 400 * 0.0125
-    train_throughput = train_audio_s / train_dt
+    state0 = (ae_params, tx.init(ae_params), ae_params)
 
-    print(f"# compile {compile_time:.1f}+{serve_compile:.1f}s | "
-          f"AE {audio_seconds/ae_dt:.1f} audio-s/s | "
-          f"WaveRNN {samples/wr_dt:,.0f} samples/s "
-          f"({samples/wr_dt/22050:.2f}x realtime) | single-stream "
-          f"{throughput:.2f} audio-s/s | serving ({len(paths)} utt, "
-          f"{serve_audio_s:.1f} audio-s) {serve_throughput:.2f} audio-s/s | "
-          f"train {train_dt*1e3:.0f} ms/step "
-          f"({train_throughput:.1f} audio-s/s)", file=sys.stderr)
+    def train_once(i):
+        return step_fn(*state0, xb, cb)[:3]
+
+    train_dt, _, _ = _timeit(train_once)
+    fl, by = RL.ae_train_cost(ae_cfg, 16, N)
+    entries.append(RL.account("ae_train_step", fl, by, train_dt, spec))
+    train_throughput = 16 * N * 0.0125 / train_dt
+
+    # ---- cross-backend equivalence gate (VERDICT r1 #9) -----------------
+    if on_tpu:
+        post_x = np.asarray(AE.batch_forward_jit(ae_params, chunks, c, c,
+                                                 ae_cfg, 0.5, "xla"))
+        post_p = np.asarray(AE.batch_forward_jit(ae_params, chunks, c, c,
+                                                 ae_cfg, 0.5, "pallas"))
+        ae_mse = float(np.mean((post_x - post_p) ** 2))
+        kk = jax.random.PRNGKey(7)
+        wav_p = WR.generate(wr_params, post[None], wr_cfg, key=kk,
+                            backend="pallas")
+        wav_x = WR.generate(wr_params, post[None], wr_cfg, key=kk,
+                            backend="xla")
+        n = min(len(wav_p), len(wav_x))
+        corr = float(np.corrcoef(wav_p[:n], wav_x[:n])[0, 1])
+        details["equivalence"] = {
+            "ae_pallas_vs_xla_mel_mse": ae_mse,
+            "vocoder_pallas_vs_xla_corr": corr,
+            "ae_ok": bool(ae_mse < 1e-3),
+            "vocoder_ok": bool(corr > 0.95),
+        }
+        print(f"# backend equivalence: AE mel MSE {ae_mse:.2e} | vocoder "
+              f"corr {corr:.4f}", file=sys.stderr)
+
+    # ---- end-to-end single stream ---------------------------------------
+    def convert_once(seed):
+        post = AE.batch_forward_jit(ae_params, chunks, c, c, ae_cfg, 0.5,
+                                    "auto")
+        return WR.generate(wr_params, post[None], wr_cfg,
+                           key=jax.random.PRNGKey(seed))
+
+    single_dt, compile_s, out = _timeit(convert_once)
+    single_throughput = audio_seconds / single_dt
+
+    # ---- batch serving: every bundled utterance in one pass -------------
+    serve_audio_s = sum(len(w) for w in wavs) / 22050.0
+    chunk_sets = [dsp.mel_spec_auto_encoder_sliced(w, ae_cfg.spectrogram)[0]
+                  for w in wavs]
+
+    def serve_once(seed):
+        posts = [AE.batch_forward_jit(ae_params, ch, c, c, ae_cfg, 0.5,
+                                      "auto") for ch in chunk_sets]
+        return WR.generate_many(wr_params, posts, wr_cfg,
+                                key=jax.random.PRNGKey(seed))
+
+    serve_dt, serve_compile, _ = _timeit(serve_once)
+    serve_throughput = serve_audio_s / serve_dt
+
+    details.update({
+        "serve_audio_seconds_per_second_per_chip": round(serve_throughput, 3),
+        "convert_audio_seconds_per_second_per_chip": round(single_throughput,
+                                                           3),
+        "train_audio_seconds_per_second_per_chip": round(train_throughput, 3),
+        "train_ms_per_step": round(train_dt * 1e3, 2),
+        "wavernn_samples_per_second": round(sample_rate, 0),
+        "wavernn_folds": int(cond.shape[0]),
+        "compile_seconds": {"single": round(compile_s, 1),
+                            "serve": round(serve_compile, 1)},
+        "serve_utterances": len(wavs),
+        "serve_audio_seconds": round(serve_audio_s, 2),
+    })
+    print(RL.format_table(entries), file=sys.stderr)
+    print(f"# single-stream {single_throughput:.2f} audio-s/s | serving "
+          f"({len(wavs)} utt, {serve_audio_s:.1f} audio-s) "
+          f"{serve_throughput:.2f} audio-s/s | WaveRNN "
+          f"{sample_rate:,.0f} samples/s ({sample_rate/22050:.1f}x RT) | "
+          f"train {train_dt*1e3:.0f} ms/step", file=sys.stderr)
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_details.json"), "w") as f:
+        json.dump(details, f, indent=1)
 
     print(json.dumps({
-        "metric": "convert_audio_seconds_per_second_per_chip",
+        "metric": "serve_audio_seconds_per_second_per_chip",
         "value": round(serve_throughput, 3),
         "unit": "audio-s/s",
         "vs_baseline": round(serve_throughput / 1.0, 3),
     }))
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x, jnp.float32)
 
 
 if __name__ == "__main__":

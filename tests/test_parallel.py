@@ -47,6 +47,10 @@ def _make_inputs(B=8, T=64, seed=0):
     return x, c
 
 
+@pytest.mark.slow  # two full AE grad-program compiles per param set on the
+#                    8-device CPU mesh (~4 min each on 2 CPUs); the fast tier
+#                    covers the same machinery via the SE step and the
+#                    chunk-sharded convert below
 @pytest.mark.parametrize("mesh_shape,axes", [
     ((8,), ("data",)),
     ((4, 2), ("data", "model")),

@@ -143,6 +143,7 @@ def test_convert_batch(vc, short_wav, tmp_path):
     assert len(list((tmp_path / "out").iterdir())) == 2
 
 
+@pytest.mark.slow
 def test_train_with_conversion_examples(vc, short_wav):
     info = vc.train(data_path=[short_wav], model_type="auto_encoder",
                     n_epochs=1, batch_size=2, model_name="",

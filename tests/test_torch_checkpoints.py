@@ -118,6 +118,7 @@ def test_load_model_wavernn_pyt_file(wr_pyt):
                                atol=2e-4)
 
 
+@pytest.mark.slow
 def test_converter_script_roundtrip(ae_pt, se_pt, wr_pyt, tmp_path,
                                     monkeypatch):
     """scripts/convert_reference_checkpoints.py: .pt -> native .ckpt, then
@@ -190,6 +191,7 @@ def test_missing_ok_falls_back_to_fresh_init(tmp_path, monkeypatch):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_eval_reference_parity_harness(ae_pt, capsys):
     sys.path.insert(0, "/root/repo/scripts")
     try:
