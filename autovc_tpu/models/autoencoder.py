@@ -279,6 +279,53 @@ batch_forward_jit = jax.jit(batch_forward,
                                              "rnn_backend"))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("counts", "cfg", "overlap",
+                                    "rnn_backend"))
+def batch_forward_many(params: Params, chunks: jnp.ndarray,
+                       c_orgs: jnp.ndarray, c_trg: jnp.ndarray,
+                       counts: tuple, cfg: AutoEncoderConfig,
+                       overlap: float = 0.5,
+                       rnn_backend: str = "auto"):
+    """Convert SEVERAL utterances' chunks in ONE forward pass.
+
+    Per-utterance calls leave the MXU idle: one 7 s utterance is ~17 chunk
+    rows against the 128-row systolic array, so the decoder LSTM's per-step
+    gate matmuls run at <15% row occupancy.  Here every utterance's chunks
+    join one batch (rows = sum(counts), zero-padded to a multiple of 8) and
+    the overlap-add merge then slices each utterance's rows back out.
+
+    Args:
+      chunks: (sum(counts) padded to 8, n_mels, N) — all utterances' mel
+        slices stacked; rows beyond ``sum(counts)`` are padding.
+      c_orgs: (rows, dim_emb) source embedding per row.
+      c_trg:  (1, dim_emb) shared target embedding.
+      counts: static tuple of chunk counts per utterance.
+    Returns: list of (n_mels, T_i) merged converted mels.
+    """
+    rows, n_mels, N = chunks.shape
+    c_trg_b = jnp.broadcast_to(c_trg, (rows, c_trg.shape[-1]))
+    _, mel_post, _, _ = forward(params, chunks, c_orgs, c_trg_b, cfg,
+                                train=False, rnn_backend=rnn_backend)
+    step = int(N * (1 - overlap))
+    outs, row = [], 0
+    for M in counts:
+        total = N + (M - 1) * step
+        acc = jnp.zeros((n_mels, total), mel_post.dtype)
+        cnt = jnp.zeros((1, total), mel_post.dtype)
+        ones = jnp.ones((1, N), mel_post.dtype)
+        for i in range(M):
+            acc = jax.lax.dynamic_update_slice(
+                acc, jax.lax.dynamic_slice(acc, (0, i * step), (n_mels, N))
+                + mel_post[row + i], (0, i * step))
+            cnt = jax.lax.dynamic_update_slice(
+                cnt, jax.lax.dynamic_slice(cnt, (0, i * step), (1, N))
+                + ones, (0, i * step))
+        outs.append(acc / cnt)
+        row += M
+    return outs
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "rnn_backend"))
 def infer(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
           c_trg: jnp.ndarray, cfg: AutoEncoderConfig,

@@ -603,8 +603,9 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
         slab_outs.append(out)
     samples = jnp.concatenate(slab_outs, axis=0)[:total_folds]
 
-    # Per-utterance unfold + trim + fade on device; only the finished
-    # waveforms cross the host boundary.
+    # Per-utterance unfold + trim + fade on device, then ONE stacked
+    # host transfer: per-utterance readbacks each pay a host round-trip
+    # (~30 ms on a tunneled chip), which dominated serving latency.
     outs, row = [], 0
     for n_folds, wave_len in zip(counts, wave_lens):
         y = jax.lax.dynamic_slice_in_dim(samples, row, n_folds, 0)
@@ -615,4 +616,8 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
                             dtype=out.dtype)[:fade_n]
         out = out.at[out.shape[0] - fade_n:].multiply(fade)
         outs.append(out)
-    return [np.asarray(o, dtype=np.float32) for o in outs]
+    max_len = max(int(o.shape[0]) for o in outs)
+    stacked = jnp.stack([jnp.pad(o, (0, max_len - int(o.shape[0])))
+                         for o in outs])
+    host = np.asarray(stacked, dtype=np.float32)
+    return [host[i, :wl] for i, wl in enumerate(wave_lens)]

@@ -139,6 +139,39 @@ def mel_spec_auto_encoder(wav: jnp.ndarray,
     return jnp.clip((db + 100.0) / 100.0, 0.0, 1.0).T
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "starts", "n"))
+def _slice_mel(wav: jnp.ndarray, cfg: MelConfig, starts: tuple, n: int):
+    mel = mel_spec_auto_encoder(wav, cfg)
+    return jnp.stack([jax.lax.dynamic_slice(mel, (0, s), (cfg.n_mels, n))
+                      for s in starts])
+
+
+def mel_spec_auto_encoder_sliced(wav: np.ndarray,
+                                 cfg: MelConfig = MelConfig(),
+                                 overlap: float = 0.5,
+                                 min_pad_coverage: float = 0.75):
+    """Device-resident ``cut=True`` AE mel path: (n_chunks, n_mels, N) chunks
+    ON DEVICE plus the mel slices.
+
+    Matches ``dsp.mel_spec_auto_encoder_sliced`` exactly (same slice index
+    math on the host, same padded wav into the same mel kernel), but the mel
+    and the chunk extraction run on device, so the only host->device
+    transfer is the raw waveform — ~6x less traffic than shipping the
+    50%%-overlapped chunk stack (matters on slow interconnects and keeps the
+    whole pipeline on-chip).
+    """
+    wav_slices, mel_slices = dsp.compute_partial_slices(
+        len(wav), cfg.sr,
+        partial_utterance_n_frames=cfg.partial_utterance_n_frames,
+        min_pad_coverage=min_pad_coverage, overlap=overlap,
+        mel_window_step=cfg.mel_window_step)
+    wav = dsp.pad_for_slices(np.asarray(wav), wav_slices)
+    starts = tuple(int(s.start) for s in mel_slices)
+    chunks = _slice_mel(jnp.asarray(wav), cfg, starts,
+                        cfg.partial_utterance_n_frames)
+    return chunks, mel_slices
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def mel_spec_speaker_encoder(wav: jnp.ndarray,
                              cfg: SpeakerMelConfig = SpeakerMelConfig()

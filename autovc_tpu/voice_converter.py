@@ -170,10 +170,12 @@ class VoiceConverter:
         ae_cfg = self.AE.config
         mel_cfg = ae_cfg.spectrogram
         ae_params = self._ae_params(use_ema)
-        # post_mel stays on device between the AE and vocoder stages; only
-        # the finished waveform crosses the host boundary.
+        # The mel front-end, chunk slicing, AE and vocoder all run on
+        # device; the raw wav is the only upload and the finished waveform
+        # the only download.
         if cut:
-            chunks, _ = dsp.mel_spec_auto_encoder_sliced(
+            from autovc_tpu.ops import melspec as dev_mel
+            chunks, _ = dev_mel.mel_spec_auto_encoder_sliced(
                 audio_src.wav, mel_cfg, overlap=overlap)
             post_mel = AEm.batch_forward_jit(
                 ae_params, chunks, c_source, c_target, ae_cfg, overlap,
@@ -259,12 +261,14 @@ class VoiceConverter:
                                            preprocess_args, sr)[None]
 
         ae_cfg = self.AE.config
-        # Stage 1: mel + embed per utterance (host).
+        # Stage 1: preprocessing + embedding on host, mel + slicing on
+        # device (only the raw wavs cross the host boundary).
+        from autovc_tpu.ops import melspec as dev_mel
         all_chunks, c_orgs = [], []
         for src in sources:
             audio = Audio(src, sr)
             audio.preprocess(*preprocess, **preprocess_args)
-            chunks, _ = dsp.mel_spec_auto_encoder_sliced(
+            chunks, _ = dev_mel.mel_spec_auto_encoder_sliced(
                 audio.wav, ae_cfg.spectrogram, overlap=overlap)
             all_chunks.append(chunks)
             c_orgs.append(self._embed(audio))
@@ -273,11 +277,24 @@ class VoiceConverter:
         # dispatch pipelines the utterances), then one joint vocoder pass —
         # nothing but the finished waveforms crosses the host boundary.
         ae_params = self._ae_params(use_ema)
-        post_mels = [
-            AEm.batch_forward_jit(ae_params, chunks, c_org[None],
-                                  c_target, ae_cfg, overlap,
-                                  self.rnn_backend)
-            for chunks, c_org in zip(all_chunks, c_orgs)]
+        # All utterances' chunks run as ONE forward (rows padded to 8) so
+        # the per-step LSTM gate matmuls fill the MXU; the merge slices each
+        # utterance back out on device.
+        import jax.numpy as jnp
+        counts = tuple(ch.shape[0] for ch in all_chunks)
+        rows = sum(counts)
+        pad_rows = -(-rows // 8) * 8 - rows
+        stacked = jnp.concatenate(all_chunks, axis=0)
+        if pad_rows:
+            stacked = jnp.pad(stacked, ((0, pad_rows), (0, 0), (0, 0)))
+        c_rows = np.concatenate(
+            [np.broadcast_to(c_org[None], (m, c_org.shape[-1]))
+             for c_org, m in zip(c_orgs, counts)] +
+            ([np.zeros((pad_rows, c_orgs[0].shape[-1]), np.float32)]
+             if pad_rows else []), axis=0)
+        post_mels = AEm.batch_forward_many(
+            ae_params, stacked, c_rows, c_target, counts, ae_cfg, overlap,
+            self.rnn_backend)
 
         wavs = WRm.generate_many(self.vocoder.params, post_mels,
                                  self.vocoder.config,

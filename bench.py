@@ -122,7 +122,8 @@ def main():
     wav = wavs[0]
     audio_seconds = len(wav) / 22050.0
 
-    chunks, _ = dsp.mel_spec_auto_encoder_sliced(wav, ae_cfg.spectrogram)
+    from autovc_tpu.ops import melspec as dev_mel
+    chunks, _ = dev_mel.mel_spec_auto_encoder_sliced(wav, ae_cfg.spectrogram)
     c = np.zeros((1, 256), np.float32)
     c[0, 0] = 1.0
     M, _, N = chunks.shape
@@ -246,12 +247,20 @@ def main():
 
     # ---- batch serving: every bundled utterance in one pass -------------
     serve_audio_s = sum(len(w) for w in wavs) / 22050.0
-    chunk_sets = [dsp.mel_spec_auto_encoder_sliced(w, ae_cfg.spectrogram)[0]
-                  for w in wavs]
+    chunk_sets = [dev_mel.mel_spec_auto_encoder_sliced(
+        w, ae_cfg.spectrogram)[0] for w in wavs]
+
+    counts = tuple(ch.shape[0] for ch in chunk_sets)
+    rows = sum(counts)
+    pad_rows = -(-rows // 8) * 8 - rows
+    stacked = jnp.concatenate(chunk_sets, axis=0)
+    if pad_rows:
+        stacked = jnp.pad(stacked, ((0, pad_rows), (0, 0), (0, 0)))
+    c_rows = np.broadcast_to(c, (stacked.shape[0], c.shape[-1]))
 
     def serve_once(seed):
-        posts = [AE.batch_forward_jit(ae_params, ch, c, c, ae_cfg, 0.5,
-                                      "auto") for ch in chunk_sets]
+        posts = AE.batch_forward_many(ae_params, stacked, c_rows, c,
+                                      counts, ae_cfg, 0.5, "auto")
         return WR.generate_many(wr_params, posts, wr_cfg,
                                 key=jax.random.PRNGKey(seed))
 

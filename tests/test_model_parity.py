@@ -107,6 +107,32 @@ def test_autoencoder_batch_forward_merge(ae_pair):
     np.testing.assert_allclose(merged, expected, rtol=1e-5, atol=1e-6)
 
 
+def test_batch_forward_many_matches_per_utterance(ae_pair):
+    """The fused multi-utterance serving pass must equal per-utterance
+    batch_forward exactly (eval-mode BN -> batch composition independent)."""
+    _, params = ae_pair
+    cfg = AutoEncoderConfig()
+    rng = np.random.default_rng(5)
+    counts = (3, 2)
+    N = 64
+    sets = [rng.random((m, 80, N), dtype=np.float32) for m in counts]
+    cs = [rng.standard_normal((1, 256)).astype(np.float32) for _ in counts]
+    c_trg = rng.standard_normal((1, 256)).astype(np.float32)
+
+    rows = sum(counts)
+    pad = -(-rows // 8) * 8 - rows
+    stacked = np.concatenate(sets + [np.zeros((pad, 80, N), np.float32)])
+    c_rows = np.concatenate(
+        [np.broadcast_to(c, (m, 256)) for c, m in zip(cs, counts)]
+        + [np.zeros((pad, 256), np.float32)])
+    outs = AE.batch_forward_many(params, stacked, c_rows, c_trg, counts,
+                                 cfg, 0.5)
+    for out, chunks, c_org in zip(outs, sets, cs):
+        ref = AE.batch_forward(params, chunks, c_org, c_trg, cfg, 0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_speaker_encoder_forward_parity():
     m = MirrorSpeakerEncoder()
     m.eval()
