@@ -296,6 +296,51 @@ def xfade_and_unfold_device(y: jnp.ndarray, overlap: int) -> jnp.ndarray:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("overlap", "wave_len", "hop",
+                                             "batched", "mu_law",
+                                             "n_classes"))
+def _finish(samples: jnp.ndarray, overlap: int, wave_len: int, hop: int,
+            batched: bool, mu_law: bool, n_classes: int) -> jnp.ndarray:
+    """Post-sampling tail (mu-law expand -> unfold -> trim -> fade) as ONE
+    compiled program: eagerly dispatched tail ops each pay a host round
+    trip on tunneled devices and dominated conversion latency."""
+    if mu_law:
+        samples = jnp.sign(samples) / (n_classes - 1) * (
+            n_classes ** jnp.abs(samples) - 1)
+    out = xfade_and_unfold_device(samples, overlap) if batched \
+        else samples[0]
+    out = out[:wave_len]
+    L = int(out.shape[0])
+    fade_n = min(20 * hop, L)
+    fade = jnp.linspace(1.0, 0.0, 20 * hop, dtype=out.dtype)[:fade_n]
+    return out.at[L - fade_n:].multiply(fade)
+
+
+@functools.partial(jax.jit, static_argnames=("counts", "wave_lens",
+                                             "overlap", "hop"))
+def _finish_many(samples: jnp.ndarray, counts: tuple, wave_lens: tuple,
+                 overlap: int, hop: int) -> jnp.ndarray:
+    """Batch-serving tail: per-utterance unfold/trim/fade fused into one
+    program returning a single (n_utterances, max_len) array for one
+    stacked host readback."""
+    max_len = max(wave_lens)
+    outs, row = [], 0
+    for n_folds, wl in zip(counts, wave_lens):
+        y = jax.lax.dynamic_slice_in_dim(samples, row, n_folds, 0)
+        row += n_folds
+        out = xfade_and_unfold_device(y, overlap)[:wl]
+        L = int(out.shape[0])
+        fade_n = min(20 * hop, L)
+        fade = jnp.linspace(1.0, 0.0, 20 * hop, dtype=out.dtype)[:fade_n]
+        out = out.at[L - fade_n:].multiply(fade)
+        outs.append(jnp.pad(out, (0, max_len - L)))
+    # 16-bit PCM readback: the delivered format is 16-bit anyway, and it
+    # halves the (bandwidth-bound) device->host transfer
+    stacked = jnp.stack(outs)
+    return jnp.clip(jnp.round(stacked * 32767.0), -32767, 32767).astype(
+        jnp.int16)
+
+
 def xfade_and_unfold(y: np.ndarray, overlap: int) -> np.ndarray:
     """Equal-power crossfade overlap-add of folded sample rows
     (model.py:401-456).  Host-side numpy (cheap, one pass)."""
@@ -516,22 +561,11 @@ def generate(params: Params, mel: np.ndarray,
                                  unroll)
     samples = samples[:n_folds]
 
-    if mu_law:
-        samples = jnp.sign(samples) / (cfg.n_classes - 1) * (
-            cfg.n_classes ** jnp.abs(samples) - 1)
-
-    if batched:
-        output = xfade_and_unfold_device(samples, overlap)
-    else:
-        output = samples[0]
-
-    # trim + 20-hop linear fade-out (model.py:325-327), still on device; the
-    # finished waveform is the ONLY array that crosses the host boundary.
-    output = output[:wave_len]
-    fade_n = min(20 * cfg.hop_length, int(output.shape[0]))
-    fade = jnp.linspace(1.0, 0.0, 20 * cfg.hop_length,
-                        dtype=output.dtype)[:fade_n]
-    output = output.at[output.shape[0] - fade_n:].multiply(fade)
+    # trim + 20-hop linear fade-out (model.py:325-327) fused in one program
+    # on device; the finished waveform is the ONLY array that crosses the
+    # host boundary.
+    output = _finish(samples, overlap, wave_len, cfg.hop_length, batched,
+                     mu_law, cfg.n_classes)
     return np.asarray(output, dtype=np.float32)
 
 
@@ -603,21 +637,11 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
         slab_outs.append(out)
     samples = jnp.concatenate(slab_outs, axis=0)[:total_folds]
 
-    # Per-utterance unfold + trim + fade on device, then ONE stacked
-    # host transfer: per-utterance readbacks each pay a host round-trip
-    # (~30 ms on a tunneled chip), which dominated serving latency.
-    outs, row = [], 0
-    for n_folds, wave_len in zip(counts, wave_lens):
-        y = jax.lax.dynamic_slice_in_dim(samples, row, n_folds, 0)
-        row += n_folds
-        out = xfade_and_unfold_device(y, overlap)[:wave_len]
-        fade_n = min(20 * cfg.hop_length, int(out.shape[0]))
-        fade = jnp.linspace(1.0, 0.0, 20 * cfg.hop_length,
-                            dtype=out.dtype)[:fade_n]
-        out = out.at[out.shape[0] - fade_n:].multiply(fade)
-        outs.append(out)
-    max_len = max(int(o.shape[0]) for o in outs)
-    stacked = jnp.stack([jnp.pad(o, (0, max_len - int(o.shape[0])))
-                         for o in outs])
-    host = np.asarray(stacked, dtype=np.float32)
+    # Per-utterance unfold + trim + fade fused into ONE device program and
+    # ONE stacked host transfer: eager tail ops and per-utterance readbacks
+    # each pay a host round-trip (~30 ms on a tunneled chip), which
+    # dominated serving latency.
+    stacked = _finish_many(samples, tuple(counts), tuple(wave_lens),
+                           overlap, cfg.hop_length)
+    host = np.asarray(stacked).astype(np.float32) / 32767.0
     return [host[i, :wl] for i, wl in enumerate(wave_lens)]

@@ -242,7 +242,7 @@ def main():
         return WR.generate(wr_params, post[None], wr_cfg,
                            key=jax.random.PRNGKey(seed))
 
-    single_dt, compile_s, out = _timeit(convert_once)
+    single_dt, compile_s, out = _timeit(convert_once, budget_s=2.0)
     single_throughput = audio_seconds / single_dt
 
     # ---- batch serving: every bundled utterance in one pass -------------
@@ -264,7 +264,7 @@ def main():
         return WR.generate_many(wr_params, posts, wr_cfg,
                                 key=jax.random.PRNGKey(seed))
 
-    serve_dt, serve_compile, _ = _timeit(serve_once)
+    serve_dt, serve_compile, _ = _timeit(serve_once, budget_s=3.0)
     serve_throughput = serve_audio_s / serve_dt
 
     details.update({
