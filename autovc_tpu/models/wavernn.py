@@ -510,6 +510,42 @@ def _prepare_conditioning(params: Params, mel: jnp.ndarray,
     return cond, aux
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "target", "overlap", "batched",
+                                    "mu_law", "fast_math", "unroll",
+                                    "backend", "interpret"))
+def _generate_program(params: Params, mel: jnp.ndarray, key,
+                      cfg: WaveRNNConfig, target: int, overlap: int,
+                      batched: bool, mu_law: bool, fast_math: bool,
+                      unroll: int, backend: str, interpret: bool):
+    """The COMPLETE mel->waveform chain as one compiled program: upsample,
+    fold, sampling loop, crossfade-unfold, trim, fade.  One dispatch per
+    conversion instead of ~7 (each dispatch costs a host round-trip on
+    tunneled devices)."""
+    wave_len = (mel.shape[-1] - 1) * cfg.hop_length
+    cond, aux = _prepare_conditioning(params, mel, cfg, target, overlap,
+                                      batched)
+    # Bucket the fold count to a multiple of 8: bounds the number of jit
+    # variants of the sampling program (compile cost) and keeps the MXU
+    # operand rows aligned; padded rows are discarded before the unfold.
+    n_folds = cond.shape[0]
+    bucket = -(-n_folds // 8) * 8
+    if bucket != n_folds:
+        pad_rows = ((0, bucket - n_folds), (0, 0), (0, 0))
+        cond = jnp.pad(cond, pad_rows)
+        aux = jnp.pad(aux, pad_rows)
+    if backend == "pallas":
+        from autovc_tpu.ops import wavernn_pallas
+        samples = wavernn_pallas.generate_scan_pallas(
+            params, cond, aux, key, cfg, fast_math, interpret=interpret)
+    else:
+        samples = _generate_scan(params, cond, aux, key, cfg, fast_math,
+                                 unroll)
+    samples = samples[:n_folds]
+    return _finish(samples, overlap, wave_len, cfg.hop_length, batched,
+                   mu_law, cfg.n_classes)
+
+
 def generate(params: Params, mel: np.ndarray,
              cfg: WaveRNNConfig = WaveRNNConfig(),
              key=None, batched: bool | None = None,
@@ -539,67 +575,23 @@ def generate(params: Params, mel: np.ndarray,
     mel = jnp.asarray(mel, jnp.float32)
     if mel.ndim == 2:
         mel = mel[None]
-    wave_len = (mel.shape[-1] - 1) * cfg.hop_length
-
-    cond, aux = _prepare_conditioning(params, mel, cfg, target, overlap,
-                                      batched)
-    # Bucket the fold count to a multiple of 8: bounds the number of jit
-    # variants of the sampling program (compile cost) and keeps the MXU
-    # operand rows aligned; padded rows are discarded before the unfold.
-    n_folds = cond.shape[0]
-    bucket = -(-n_folds // 8) * 8
-    if bucket != n_folds:
-        pad_rows = ((0, bucket - n_folds), (0, 0), (0, 0))
-        cond = jnp.pad(cond, pad_rows)
-        aux = jnp.pad(aux, pad_rows)
-    if backend == "pallas":
-        from autovc_tpu.ops import wavernn_pallas
-        samples = wavernn_pallas.generate_scan_pallas(
-            params, cond, aux, key, cfg, fast_math, interpret=interpret)
-    else:
-        samples = _generate_scan(params, cond, aux, key, cfg, fast_math,
-                                 unroll)
-    samples = samples[:n_folds]
-
-    # trim + 20-hop linear fade-out (model.py:325-327) fused in one program
-    # on device; the finished waveform is the ONLY array that crosses the
-    # host boundary.
-    output = _finish(samples, overlap, wave_len, cfg.hop_length, batched,
-                     mu_law, cfg.n_classes)
+    output = _generate_program(params, mel, key, cfg, target, overlap,
+                               batched, mu_law, fast_math, unroll, backend,
+                               interpret)
+    # the finished waveform is the ONLY array that crosses the host boundary
     return np.asarray(output, dtype=np.float32)
 
 
-def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
-                  key=None, target: int | None = None,
-                  overlap: int | None = None, fast_math: bool = True,
-                  unroll: int = 4, backend: str = "auto"):
-    """Vocode SEVERAL utterances in one pass (production batch serving).
-
-    Single-utterance generation underfills the MXU: ~14 folds of a 7 s clip
-    give a 14-row operand against a 128-row systolic array, so per-step cost
-    is dominated by pipeline latency.  Here every utterance's folds join one
-    batch (all folds share seq_len = target + 2*overlap), the sampling loop
-    runs once over the union, and each utterance is crossfade-unfolded from
-    its own rows — near-linear throughput gain until the fold count reaches
-    MXU width.
-
-    Args:
-      mels: list of (feat, F) or (1, feat, F) conditioning mels.
-    Returns: list of float32 waveforms (length (F_i - 1) * hop each).
-    """
-    g = cfg.generate
-    target = g.target if target is None else target
-    overlap = g.overlap if overlap is None else overlap
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if key is None:
-        key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
-
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "target", "overlap", "fast_math",
+                                    "unroll", "backend"))
+def _generate_many_program(params: Params, mels: tuple, key,
+                           cfg: WaveRNNConfig, target: int, overlap: int,
+                           fast_math: bool, unroll: int, backend: str):
+    """Whole-serve-pass program: per-utterance conditioning, the union
+    slab sampling loop, per-utterance unfold/trim/fade, one int16 stack."""
     conds, auxs, counts, wave_lens = [], [], [], []
     for mel in mels:
-        mel = jnp.asarray(mel, jnp.float32)
-        if mel.ndim == 2:
-            mel = mel[None]
         wave_lens.append((mel.shape[-1] - 1) * cfg.hop_length)
         cond, aux = _prepare_conditioning(params, mel, cfg, target, overlap,
                                           True)
@@ -637,11 +629,43 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
         slab_outs.append(out)
     samples = jnp.concatenate(slab_outs, axis=0)[:total_folds]
 
-    # Per-utterance unfold + trim + fade fused into ONE device program and
-    # ONE stacked host transfer: eager tail ops and per-utterance readbacks
-    # each pay a host round-trip (~30 ms on a tunneled chip), which
-    # dominated serving latency.
-    stacked = _finish_many(samples, tuple(counts), tuple(wave_lens),
-                           overlap, cfg.hop_length)
+    return _finish_many(samples, tuple(counts), tuple(wave_lens),
+                        overlap, cfg.hop_length)
+
+
+def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
+                  key=None, target: int | None = None,
+                  overlap: int | None = None, fast_math: bool = True,
+                  unroll: int = 4, backend: str = "auto"):
+    """Vocode SEVERAL utterances in one pass (production batch serving).
+
+    Single-utterance generation underfills the MXU: ~14 folds of a 7 s clip
+    give a 14-row operand against a 128-row systolic array, so per-step cost
+    is dominated by pipeline latency.  Here every utterance's folds join one
+    batch (all folds share seq_len = target + 2*overlap), the sampling loop
+    runs once over the union, and each utterance is crossfade-unfolded from
+    its own rows — near-linear throughput gain until the fold count reaches
+    MXU width.  The whole pass is ONE compiled program and ONE stacked
+    int16 readback (eager dispatches and per-utterance readbacks each pay a
+    host round-trip on tunneled devices).
+
+    Args:
+      mels: list of (feat, F) or (1, feat, F) conditioning mels.
+    Returns: list of float32 waveforms (length (F_i - 1) * hop each).
+    """
+    g = cfg.generate
+    target = g.target if target is None else target
+    overlap = g.overlap if overlap is None else overlap
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if key is None:
+        key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+
+    mels = tuple(jnp.asarray(m, jnp.float32)[None]
+                 if np.ndim(m) == 2 else jnp.asarray(m, jnp.float32)
+                 for m in mels)
+    wave_lens = [(m.shape[-1] - 1) * cfg.hop_length for m in mels]
+    stacked = _generate_many_program(
+        params, mels, key, cfg, target, overlap, fast_math, unroll, backend)
     host = np.asarray(stacked).astype(np.float32) / 32767.0
     return [host[i, :wl] for i, wl in enumerate(wave_lens)]
