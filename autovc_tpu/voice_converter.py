@@ -131,7 +131,8 @@ class VoiceConverter:
                 outprocess=None, outprocess_args=None,
                 cut: bool = True, overlap: float = 0.5,
                 audio_log_dict: Dict[str, Any] | None = None,
-                seed: int = 0, use_ema: bool = False, **mel_kwargs):
+                seed: int = 0, use_ema: bool = False,
+                pad_to_seconds: float | None = None, **mel_kwargs):
         """Convert the content of ``source`` into the voice of ``target``.
 
         Mirrors voice_converter.py:88-211.  ``target`` may be a wav path or a
@@ -139,8 +140,14 @@ class VoiceConverter:
         ``save_dir='wandb'`` logs the audio to the active run.
         ``use_ema=True`` runs the auto-encoder with its EMA-smoothed
         parameters (the reference keeps an EMA copy it never uses,
-        auto_encoder/model.py:321,379-392).  Returns the converted
-        :class:`Audio`.
+        auto_encoder/model.py:321,379-392).
+
+        ``pad_to_seconds=s`` zero-pads the (preprocessed) input up to a
+        multiple of ``s`` seconds and trims the converted audio back to the
+        true duration: every program in the pipeline then compiles for at
+        most duration/s distinct shapes, so arbitrary-length inputs reuse
+        the persistent compilation cache (see scripts/prewarm_cache.py).
+        Returns the converted :class:`Audio`.
         """
         import jax
 
@@ -162,6 +169,12 @@ class VoiceConverter:
 
         audio_src = Audio(source, sr) if isinstance(source, str) else source
         audio_src.preprocess(*preprocess, **preprocess_args)
+        true_samples = len(audio_src.wav)
+        if pad_to_seconds:
+            bucket = int(round(pad_to_seconds * audio_src.sr))
+            pad = (-len(audio_src.wav)) % bucket
+            if pad:
+                audio_src.wav = np.pad(audio_src.wav, (0, pad))
 
         c_source = self._embed(audio_src)[None]
         c_target = self._speaker_embedding(target, preprocess,
@@ -190,6 +203,15 @@ class VoiceConverter:
                                 self.vocoder.config,
                                 key=jax.random.PRNGKey(seed),
                                 backend=self.vocoder_backend)
+        if pad_to_seconds:
+            # trim the bucket padding: keep exactly the span the unpadded
+            # slice set would have produced
+            _, true_slices = dsp.compute_partial_slices(
+                true_samples, mel_cfg.sr,
+                partial_utterance_n_frames=mel_cfg.partial_utterance_n_frames,
+                overlap=overlap, mel_window_step=mel_cfg.mel_window_step)
+            waveform = waveform[: (true_slices[-1].stop - 1)
+                                * mel_cfg.hop_length]
 
         audio_out = Audio(waveform, sr=sr, sr_org=mel_cfg.sr)
         audio_out.preprocess(*outprocess, **outprocess_args)

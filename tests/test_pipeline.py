@@ -55,6 +55,29 @@ def test_convert_end_to_end(vc, short_wav, tmp_path):
     assert os.path.isfile(str(tmp_path / "conv.wav"))
 
 
+def test_convert_pad_to_seconds_bucket(vc, short_wav):
+    """Bucketed-length conversion trims back to the true duration (within
+    one mel hop) and stays finite."""
+    ref = vc.convert(short_wav, short_wav, save_name=False, outprocess=())
+    out = vc.convert(short_wav, short_wav, save_name=False, outprocess=(),
+                     pad_to_seconds=1.0)
+    assert np.all(np.isfinite(out.wav))
+    assert abs(len(out.wav) - len(ref.wav)) <= 275 * 2
+
+
+def test_stage_data_commands_dry_run(tmp_path):
+    from autovc_tpu.utils.launcher import fetch_results, stage_data
+    cmds = stage_data(str(tmp_path), "pod1", "us-central2-b", "proj",
+                      dry_run=True)
+    assert cmds[0][0:5] == ["gcloud", "compute", "tpus", "tpu-vm", "scp"]
+    cmds = stage_data(str(tmp_path), "pod1", "us-central2-b", "proj",
+                      via_gcs="gs://bkt/data", dry_run=True)
+    assert cmds[0][0] == "gsutil" and "rsync" in cmds[0]
+    assert any("gsutil -m rsync" in a for a in cmds[1])
+    cmds = fetch_results("pod1", "us-central2-b", "proj", dry_run=True)
+    assert cmds[0][0:5] == ["gcloud", "compute", "tpus", "tpu-vm", "scp"]
+
+
 def test_convert_save_name_false_returns_only(vc, short_wav):
     out = vc.convert(short_wav, short_wav, save_name=False,
                      outprocess=())
