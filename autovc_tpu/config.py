@@ -159,11 +159,21 @@ class SpeakerEncoderConfig:
 
 @dataclass(frozen=True)
 class WaveRNNGenerateConfig:
-    """Batched-generation geometry (hparams.py:108-113)."""
+    """Batched-generation geometry (hparams.py:108-113).
+
+    ``target``/``overlap`` reproduce the reference's fixed fold geometry.
+    With ``auto_target=True`` (default) the fold length is instead chosen
+    per utterance from a small ladder so the sampling batch lands near the
+    TPU kernel's measured throughput knee (~32 fold rows): long audio gets
+    longer folds (fewer crossfade seams than the reference), short audio
+    gets shorter folds (fewer wasted sequential steps).  Pass an explicit
+    ``target=`` to :func:`models.wavernn.generate` or set
+    ``auto_target=False`` to pin the reference geometry."""
     batched: bool = True
     target: int = 11_000
     overlap: int = 550
     mu_law: bool = False
+    auto_target: bool = True
 
     def with_overrides(self, **kw) -> "WaveRNNGenerateConfig":
         return _merge(self, kw)

@@ -23,6 +23,7 @@ Functional JAX re-design of ``autovc/wavernn/model.py:16-494``:
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, Dict
 
 import jax
@@ -251,6 +252,37 @@ def pad_mel(mel: jnp.ndarray, pad: int) -> jnp.ndarray:
     return jnp.pad(mel, ((0, 0), (0, 0), (pad, pad)))
 
 
+# Fold-length ladder for auto geometry: a small discrete set (bounded
+# compile-cache variants), geometric steps, all near-multiples of the
+# reference's 550-sample crossfade overlap (hparams.py:110-112).  Capped at
+# 22000: measured on TPU v5e, per-step cost grows with fold length beyond
+# that (a 44000-fold pass runs ~2x slower than the same audio at 11000-
+# 22000), so longer folds stop paying for their fewer crossfade seams.
+_TARGET_LADDER = (1_375, 2_750, 5_500, 11_000, 22_000)
+
+# Measured on TPU v5e: the Pallas sampling kernel's rows-throughput rises
+# ~linearly to ~32 fold rows (17.4 Msamples/s, ~68% MFU) and is flat
+# beyond; per-step wall time is near-constant below the knee and linear
+# above it.  Wall time ~= seq_len * us_per_step, so the fastest geometry
+# puts the fold count AT the knee.
+_FOLD_ROWS_KNEE = 30
+
+
+def auto_fold_target(total_len: int, overlap: int = 550) -> int:
+    """Pick the fold length whose fold count lands nearest the TPU
+    sampling kernel's throughput knee (~32 rows).
+
+    The reference pins target=11000 for every input (hparams.py:110): a
+    7 s clip then folds to ~15 rows x 12100 sequential steps, half-filling
+    the efficient batch while paying double the sequential steps.  Choosing
+    from the ladder instead halves (short audio) to quarters (sub-second
+    audio) the wall clock, and gives LONG audio fewer crossfade seams than
+    the reference.  Geometric nearness keeps the choice scale-free.
+    """
+    want = max(total_len / _FOLD_ROWS_KNEE, 1.0)
+    return min(_TARGET_LADDER, key=lambda t: abs(math.log(t / want)))
+
+
 def fold_with_overlap(x: jnp.ndarray, target: int, overlap: int):
     """(1, T, C) -> (num_folds, target + 2*overlap, C) (model.py:358-399)."""
     _, total_len, features = x.shape
@@ -321,9 +353,12 @@ def _finish(samples: jnp.ndarray, overlap: int, wave_len: int, hop: int,
 def _finish_many(samples: jnp.ndarray, counts: tuple, wave_lens: tuple,
                  overlap: int, hop: int) -> jnp.ndarray:
     """Batch-serving tail: per-utterance unfold/trim/fade fused into one
-    program returning a single (n_utterances, max_len) array for one
-    stacked host readback."""
-    max_len = max(wave_lens)
+    program returning ONE flat packed array for one host readback.
+
+    Packed, not stacked: a (n, max_len) stack pads every utterance to the
+    longest (~40% dead bytes on mixed-length batches), and the device->host
+    link is the serving bottleneck — so utterances are concatenated
+    back-to-back and the host slices them apart by offset."""
     outs, row = [], 0
     for n_folds, wl in zip(counts, wave_lens):
         y = jax.lax.dynamic_slice_in_dim(samples, row, n_folds, 0)
@@ -332,12 +367,11 @@ def _finish_many(samples: jnp.ndarray, counts: tuple, wave_lens: tuple,
         L = int(out.shape[0])
         fade_n = min(20 * hop, L)
         fade = jnp.linspace(1.0, 0.0, 20 * hop, dtype=out.dtype)[:fade_n]
-        out = out.at[L - fade_n:].multiply(fade)
-        outs.append(jnp.pad(out, (0, max_len - L)))
+        outs.append(out.at[L - fade_n:].multiply(fade))
     # 16-bit PCM readback: the delivered format is 16-bit anyway, and it
     # halves the (bandwidth-bound) device->host transfer
-    stacked = jnp.stack(outs)
-    return jnp.clip(jnp.round(stacked * 32767.0), -32767, 32767).astype(
+    flat = jnp.concatenate(outs)
+    return jnp.clip(jnp.round(flat * 32767.0), -32767, 32767).astype(
         jnp.int16)
 
 
@@ -566,7 +600,6 @@ def generate(params: Params, mel: np.ndarray,
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     g = cfg.generate
     batched = g.batched if batched is None else batched
-    target = g.target if target is None else target
     overlap = g.overlap if overlap is None else overlap
     mu_law = (g.mu_law if mu_law is None else mu_law) and cfg.mode == "RAW"
     if key is None:
@@ -575,6 +608,11 @@ def generate(params: Params, mel: np.ndarray,
     mel = jnp.asarray(mel, jnp.float32)
     if mel.ndim == 2:
         mel = mel[None]
+    if target == "auto" or (target is None and g.auto_target):
+        target = auto_fold_target((mel.shape[-1] - 1) * cfg.hop_length,
+                                  overlap)
+    elif target is None:
+        target = g.target
     output = _generate_program(params, mel, key, cfg, target, overlap,
                                batched, mu_law, fast_math, unroll, backend,
                                interpret)
@@ -603,11 +641,13 @@ def _generate_many_program(params: Params, mels: tuple, key,
     aux = jnp.concatenate(auxs, axis=0)
     total_folds = cond.shape[0]
 
-    # Process in fixed-size slabs.  At scale the slab is 128 rows (= MXU
-    # width: full-height matmuls each scan step, ONE compiled program for
-    # any workload size); small workloads use an 8-multiple bucket so tests
-    # and single calls don't pad to 128.
-    SLAB = min(128, -(-total_folds // 8) * 8)
+    # Process in fixed-size slabs.  At scale the slab is 32 rows — the
+    # measured knee of the sampling kernel's rows-throughput curve (flat
+    # beyond it, so 32-row passes match 128-row passes in throughput while
+    # wasting at most 31 padded rows, not 127) — giving ONE compiled
+    # program for any workload size; small workloads use an 8-multiple
+    # bucket so tests and single calls don't pad up.
+    SLAB = min(32, -(-total_folds // 8) * 8)
     n_slabs = max(1, -(-total_folds // SLAB))
     padded = n_slabs * SLAB
     if padded != total_folds:
@@ -636,7 +676,8 @@ def _generate_many_program(params: Params, mels: tuple, key,
 def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
                   key=None, target: int | None = None,
                   overlap: int | None = None, fast_math: bool = True,
-                  unroll: int = 4, backend: str = "auto"):
+                  unroll: int = 4, backend: str = "auto",
+                  block: bool = True):
     """Vocode SEVERAL utterances in one pass (production batch serving).
 
     Single-utterance generation underfills the MXU: ~14 folds of a 7 s clip
@@ -651,10 +692,14 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
 
     Args:
       mels: list of (feat, F) or (1, feat, F) conditioning mels.
-    Returns: list of float32 waveforms (length (F_i - 1) * hop each).
+      block: when False, returns a zero-arg collector instead of the
+        waveforms; the device->host copy is started asynchronously so the
+        caller can dispatch the NEXT batch before collecting this one
+        (double-buffered serving hides the readback behind compute).
+    Returns: list of float32 waveforms (length (F_i - 1) * hop each), or a
+      collector returning that list when ``block=False``.
     """
     g = cfg.generate
-    target = g.target if target is None else target
     overlap = g.overlap if overlap is None else overlap
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -665,7 +710,27 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
                  if np.ndim(m) == 2 else jnp.asarray(m, jnp.float32)
                  for m in mels)
     wave_lens = [(m.shape[-1] - 1) * cfg.hop_length for m in mels]
-    stacked = _generate_many_program(
+    if target == "auto" or (target is None and g.auto_target):
+        # pooled: all utterances' folds join one sampling batch, so pick
+        # the fold length that lands the UNION near the throughput knee
+        target = auto_fold_target(sum(wave_lens), overlap)
+    elif target is None:
+        target = g.target
+    flat = _generate_many_program(
         params, mels, key, cfg, target, overlap, fast_math, unroll, backend)
-    host = np.asarray(stacked).astype(np.float32) / 32767.0
-    return [host[i, :wl] for i, wl in enumerate(wave_lens)]
+
+    def collect():
+        host = np.asarray(flat).astype(np.float32) / 32767.0
+        offsets = np.cumsum([0] + wave_lens)
+        return [host[a:b] for a, b in zip(offsets[:-1], offsets[1:])]
+
+    if not block:
+        # Pipelined serving: start the device->host copy NOW (it overlaps
+        # the NEXT batch's compute — the link, not the chip, is the serving
+        # bottleneck on tunneled/PCIe hosts) and hand back a collector.
+        try:
+            flat.copy_to_host_async()
+        except AttributeError:
+            pass
+        return collect
+    return collect()

@@ -330,9 +330,9 @@ class VoiceConverter:
             if save_dir is not None:
                 os.makedirs(save_dir, exist_ok=True)
                 name = os.path.splitext(os.path.basename(src))[0]
-                audio_out.save(os.path.join(
-                    save_dir, f"{name}_to_{os.path.basename(str(target))}"
-                    f".wav"))
+                trg = os.path.splitext(os.path.basename(str(target)))[0]
+                audio_out.save(os.path.join(save_dir,
+                                            f"{name}_to_{trg}.wav"))
             outs.append(audio_out)
         return outs
 

@@ -153,8 +153,10 @@ def main():
     # ---- component: WaveRNN conditioning + sampling kernel --------------
     post = AE.batch_forward_jit(ae_params, chunks, c, c, ae_cfg, 0.5, "auto")
     g = wr_cfg.generate
+    t_total = int(post.shape[-1] - 1) * wr_cfg.hop_length
+    tgt = WR.auto_fold_target(t_total, g.overlap)
     cond, aux = WR._prepare_conditioning(wr_params, jnp_asarray(post[None]),
-                                         wr_cfg, g.target, g.overlap, True)
+                                         wr_cfg, tgt, g.overlap, True)
     n_folds = cond.shape[0]
     bucket = -(-n_folds // 8) * 8
     if bucket != n_folds:
@@ -166,8 +168,7 @@ def main():
     cond_dt, _, _ = _timeit(
         lambda i: WR._prepare_conditioning(wr_params,
                                            jnp_asarray(post[None]), wr_cfg,
-                                           g.target, g.overlap, True))
-    t_total = int(post.shape[-1] - 1) * wr_cfg.hop_length
+                                           tgt, g.overlap, True))
     fl, by = RL.wavernn_conditioning_cost(wr_cfg, 1, t_total)
     entries.append(RL.account("wavernn_conditioning", fl, by, cond_dt, spec))
 
@@ -246,7 +247,7 @@ def main():
                                     "auto")
         return WR._generate_program(
             wr_params, post[None], jax.random.PRNGKey(seed), wr_cfg,
-            g.target, g.overlap, True, False, True, 4, backend, False)
+            tgt, g.overlap, True, False, True, 4, backend, False)
 
     single_dt, compile_s, out = _timeit(convert_once, budget_s=2.0)
     single_throughput = audio_seconds / single_dt
@@ -268,13 +269,31 @@ def main():
         stacked = jnp.pad(stacked, ((0, pad_rows), (0, 0), (0, 0)))
     c_rows = np.broadcast_to(c, (stacked.shape[0], c.shape[-1]))
 
-    def serve_once(seed):
+    def serve_dispatch(seed):
         posts = AE.batch_forward_many(ae_params, stacked, c_rows, c,
                                       counts, ae_cfg, 0.5, "auto")
         return WR.generate_many(wr_params, posts, wr_cfg,
-                                key=jax.random.PRNGKey(seed))
+                                key=jax.random.PRNGKey(seed), block=False)
 
-    serve_dt, serve_compile, _ = _timeit(serve_once, budget_s=3.0)
+    t0 = time.time()
+    serve_dispatch(0)()            # compile + first full batch
+    serve_compile = time.time() - t0
+    t0 = time.time()
+    serve_dispatch(1)()
+    serve_batch_latency = time.time() - t0   # one blocked batch, warm
+
+    # Steady state: batch i+1's compute is dispatched before batch i's
+    # host readback is collected, so the (bottleneck) device->host copy
+    # overlaps the next batch's sampling — production double buffering.
+    K = max(3, int(3.0 / max(serve_batch_latency, 1e-3)))
+    t0 = time.time()
+    pending = serve_dispatch(2)
+    for i in range(3, 2 + K):
+        nxt = serve_dispatch(i)
+        pending()
+        pending = nxt
+    pending()
+    serve_dt = (time.time() - t0) / K
     serve_throughput = serve_audio_s / serve_dt
 
     details.update({
@@ -290,6 +309,7 @@ def main():
                             "serve": round(serve_compile, 1)},
         "serve_utterances": len(wavs),
         "serve_audio_seconds": round(serve_audio_s, 2),
+        "serve_batch_latency_ms": round(serve_batch_latency * 1e3, 1),
     })
     print(RL.format_table(entries), file=sys.stderr)
     print(f"# single-stream {single_throughput:.2f} audio-s/s | serving "

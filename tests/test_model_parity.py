@@ -311,6 +311,62 @@ def test_generate_produces_audio(wavernn_pair):
     assert abs(wav[-1]) < 1e-3
 
 
+def test_auto_fold_target_geometry():
+    """Ladder selection: short audio -> short folds (fewer sequential
+    steps), long audio -> longer folds than the reference's fixed 11000
+    (fewer crossfade seams), fold count near the ~32-row kernel knee."""
+    # 7 s at 22.05 kHz: the reference's fixed target gives ~15 folds x
+    # 12100 steps; auto picks 5500 -> ~28 folds x 6600 steps.
+    assert WR.auto_fold_target(7 * 22050) == 5500
+    assert WR.auto_fold_target(22050) == 1375          # 1 s clip
+    assert WR.auto_fold_target(60 * 22050) == 22000    # 1 min clip
+    assert WR.auto_fold_target(600 * 22050) == 22000   # capped at ladder top
+    assert WR.auto_fold_target(1) == 1375              # degenerate input
+    # every ladder value keeps the compile-variant count bounded
+    for secs in (0.5, 1, 3, 7, 20, 60, 300):
+        assert WR.auto_fold_target(int(secs * 22050)) in WR._TARGET_LADDER
+
+
+def test_generate_auto_target_produces_audio(wavernn_pair):
+    """target=None + auto_target=True (the production default) must route
+    through the ladder and still produce a correctly-sized waveform."""
+    import jax
+    _, params = wavernn_pair
+    cfg = WaveRNNConfig()
+    F_frames = 24
+    mel = np.random.default_rng(5).random((1, 80, F_frames),
+                                          dtype=np.float32)
+    assert cfg.generate.auto_target
+    wav = WR.generate(params, mel, cfg, key=jax.random.PRNGKey(2))
+    assert wav.shape == ((F_frames - 1) * cfg.hop_length,)
+    assert np.all(np.isfinite(wav))
+    # explicit target still wins over auto
+    wav2 = WR.generate(params, mel, cfg, key=jax.random.PRNGKey(2),
+                       target=2200)
+    assert wav2.shape == wav.shape
+
+
+def test_generate_many_packed_and_async(wavernn_pair):
+    """generate_many returns correctly-sized per-utterance waveforms from
+    the packed flat readback, and block=False's collector matches
+    block=True exactly (same key => same program => same samples)."""
+    import jax
+    _, params = wavernn_pair
+    cfg = WaveRNNConfig()
+    rng = np.random.default_rng(6)
+    mels = [rng.random((80, F), dtype=np.float32) for F in (10, 24, 17)]
+    key = jax.random.PRNGKey(9)
+    wavs = WR.generate_many(params, mels, cfg, key=key, target=2200)
+    assert [w.shape[0] for w in wavs] == \
+        [(F - 1) * cfg.hop_length for F in (10, 24, 17)]
+    assert all(np.all(np.isfinite(w)) for w in wavs)
+    collect = WR.generate_many(params, mels, cfg, key=key, target=2200,
+                               block=False)
+    wavs2 = collect()
+    for a, b in zip(wavs, wavs2):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_generate_unbatched_matches_length(wavernn_pair):
     import jax
     _, params = wavernn_pair
