@@ -76,12 +76,15 @@ def init(key, cfg: AutoEncoderConfig = AutoEncoderConfig()) -> Params:
 
 
 def _rnn_impls(rnn_backend: str, train: bool):
-    """Pick the recurrence implementation: differentiable lax.scan for
-    training / CPU / GSPMD-sharded programs, the Pallas VMEM-resident kernel
-    (ops/lstm_pallas.py) for single-chip TPU inference."""
-    use_pallas = (not train) and (
-        rnn_backend == "pallas"
-        or (rnn_backend == "auto" and jax.default_backend() == "tpu"))
+    """Pick the recurrence implementation.
+
+    'auto' resolves to the XLA fused-gate scan everywhere: after the
+    hoisted-projection + 8x-unroll work it is both FASTER than the bf16
+    Pallas LSTM kernel on the AE's shapes (v5e, chunk-batch forward:
+    2.7 ms XLA f32 vs 4.0 ms Pallas bf16, bench_details.json r2) and
+    exact f32.  The Pallas kernel (ops/lstm_pallas.py) stays selectable
+    via rnn_backend='pallas' for inference experiments."""
+    use_pallas = (not train) and rnn_backend == "pallas"
     if use_pallas:
         from autovc_tpu.ops import lstm_pallas as LP
         return LP.lstm_stack_pallas, LP.bilstm_stack_pallas

@@ -622,10 +622,11 @@ def generate(params: Params, mel: np.ndarray,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "target", "overlap", "fast_math",
-                                    "unroll", "backend"))
+                                    "unroll", "backend", "slab_rows"))
 def _generate_many_program(params: Params, mels: tuple, key,
                            cfg: WaveRNNConfig, target: int, overlap: int,
-                           fast_math: bool, unroll: int, backend: str):
+                           fast_math: bool, unroll: int, backend: str,
+                           slab_rows: int | None = None):
     """Whole-serve-pass program: per-utterance conditioning, the union
     slab sampling loop, per-utterance unfold/trim/fade, one int16 stack."""
     conds, auxs, counts, wave_lens = [], [], [], []
@@ -647,7 +648,7 @@ def _generate_many_program(params: Params, mels: tuple, key,
     # wasting at most 31 padded rows, not 127) — giving ONE compiled
     # program for any workload size; small workloads use an 8-multiple
     # bucket so tests and single calls don't pad up.
-    SLAB = min(32, -(-total_folds // 8) * 8)
+    SLAB = min(slab_rows or 32, -(-total_folds // 8) * 8)
     n_slabs = max(1, -(-total_folds // SLAB))
     padded = n_slabs * SLAB
     if padded != total_folds:
@@ -677,7 +678,7 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
                   key=None, target: int | None = None,
                   overlap: int | None = None, fast_math: bool = True,
                   unroll: int = 4, backend: str = "auto",
-                  block: bool = True):
+                  block: bool = True, slab_rows: int | None = None):
     """Vocode SEVERAL utterances in one pass (production batch serving).
 
     Single-utterance generation underfills the MXU: ~14 folds of a 7 s clip
@@ -696,6 +697,8 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
         waveforms; the device->host copy is started asynchronously so the
         caller can dispatch the NEXT batch before collecting this one
         (double-buffered serving hides the readback behind compute).
+      slab_rows: sampling-batch rows per kernel pass (default 32, the
+        measured throughput knee on v5e); expose for on-chip tuning.
     Returns: list of float32 waveforms (length (F_i - 1) * hop each), or a
       collector returning that list when ``block=False``.
     """
@@ -717,7 +720,8 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
     elif target is None:
         target = g.target
     flat = _generate_many_program(
-        params, mels, key, cfg, target, overlap, fast_math, unroll, backend)
+        params, mels, key, cfg, target, overlap, fast_math, unroll, backend,
+        slab_rows)
 
     def collect():
         host = np.asarray(flat).astype(np.float32) / 32767.0

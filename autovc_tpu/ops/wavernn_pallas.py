@@ -4,20 +4,25 @@ Why a kernel: the XLA ``lax.scan`` version re-reads every recurrent weight
 matrix from HBM on each of the ~3-12k sequential steps and pays per-step
 fusion/dispatch overhead.  Here the whole loop is ONE kernel invocation:
 
-  * all recurrent weights (two GRUs + three fc layers, ~7.5 MB bf16) are
-    **resident in VMEM** for the entire generation — zero per-step weight
-    traffic;
-  * the per-step conditioning block (hoisted input projections + sampling
-    noise, packed into one (T, B, D) array) streams from HBM with a
-    **double-buffered async DMA** that overlaps the next step's load with the
-    current step's compute;
+  * all weights (two GRUs + three fc layers + the per-step input
+    projections, ~8 MB bf16) are **resident in VMEM** for the entire
+    generation — zero per-step weight traffic;
+  * the per-step conditioning (raw mel + aux splits + sampling noise,
+    packed into one lane-aligned (T, B, D) array) streams from HBM with a
+    **double-buffered async DMA** that overlaps the next step's load with
+    the current step's compute.  Streaming the RAW conditioning and doing
+    the small input projections in-kernel (one 128-row matmul per segment,
+    weights in VMEM) keeps the streamed block at 5x128 = 640 lanes instead
+    of the 3200 lanes a pre-projected layout needs — 5x less HBM stream
+    traffic and a prologue that only transposes/concats instead of writing
+    multi-GB projection blocks (measured ~35% of sampling wall time at
+    3200 lanes);
   * the MOL/RAW sampling (Gumbel-max pick + logistic inverse-CDF) runs on
     the VPU with lane-mask arithmetic; samples accumulate in VMEM and are
     written out once.
 
-The packed layout (lane-aligned, all multiples of 128):
-  [pre_I (rd) | pre_r2 (3rd) | pre_f1 (fc) | pre_f2 (fc) | noise (128)]
-with noise = [gumbel (nr_mix or n_classes) | logistic (1) | pad].
+The packed layout (5 segments of 128 lanes, compute dtype):
+  [ mel|a1|0 ] [ a2|0 ] [ a3|0 ] [ a4|0 ] [ gumbel|logistic|0 ]
 
 Numerics match :func:`autovc_tpu.models.wavernn._generate_scan` given the
 same pregenerated noise (verified in tests/test_wavernn_pallas.py).
@@ -46,17 +51,21 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(step_in_hbm,        # (T, Bp, D) compute-dtype, HBM
             w_x_ref,            # (1, rd)
+            w_c0_ref,           # (s0, rd)   [mel|a1] -> I
+            w_c1_ref,           # (sa, 3rd)  a2 -> GRU2 input proj
+            w_c2_ref, w_c3_ref,  # (sa, fc)  a3 -> fc1, a4 -> fc2
             w_ih1_ref, w_hh1_ref,   # (rd, 3rd)
             w_ih2x_ref, w_hh2_ref,  # (rd, 3rd)
             w_fc1_ref, w_fc2_ref,   # (rd, fc)
             w_fc3_ref,              # (fc, 128)
-            b1_ref, bh1_ref, bh2_ref,   # (1, 3rd) f32
+            bI_ref,                     # (1, rd) f32
+            b1_ref, bh1_ref,            # (1, 3rd) f32
+            bih2_ref, bh2_ref,          # (1, 3rd) f32
+            bf1_ref, bf2_ref,           # (1, fc) f32
             b3_ref,                     # (1, 128) f32
             out_ref,            # (T, Bp) f32 VMEM
             buf, sem,           # scratch: (2, Bp, D), DMA sems (2,)
-            *, T, Bp, rd, fc, n_classes, nr_mix, raw_mode, cdt):
-    D = buf.shape[-1]
-
+            *, T, Bp, rd, fc, s0, sa, n_classes, nr_mix, raw_mode, cdt):
     def dma(slot, t):
         return pltpu.make_async_copy(step_in_hbm.at[t], buf.at[slot],
                                      sem.at[slot])
@@ -77,16 +86,20 @@ def _kernel(step_in_hbm,        # (T, Bp, D) compute-dtype, HBM
         dma(slot, t).wait()
         blk = buf[slot]            # (Bp, D) cdt
 
-        pre_I = blk[:, :rd].astype(jnp.float32)
-        pre_r2 = blk[:, rd:rd + 3 * rd].astype(jnp.float32)
-        o = rd + 3 * rd
-        pre_f1 = blk[:, o:o + fc].astype(jnp.float32)
-        pre_f2 = blk[:, o + fc:o + 2 * fc].astype(jnp.float32)
-        noise = blk[:, D - 128:].astype(jnp.float32)   # (Bp, 128)
-
         def dot(a, b_ref_val):
             return jnp.dot(a.astype(cdt), b_ref_val,
                            preferred_element_type=jnp.float32)
+
+        # in-kernel input projections from the raw conditioning segments
+        o1, o2, o3 = s0, s0 + sa, s0 + 2 * sa
+        pre_I = dot(blk[:, :s0], w_c0_ref[...]) + bI_ref[0][None, :]
+        pre_r2 = (dot(blk[:, o1:o1 + sa], w_c1_ref[...])
+                  + bih2_ref[0][None, :])
+        pre_f1 = (dot(blk[:, o2:o2 + sa], w_c2_ref[...])
+                  + bf1_ref[0][None, :])
+        pre_f2 = (dot(blk[:, o3:o3 + sa], w_c3_ref[...])
+                  + bf2_ref[0][None, :])
+        noise = blk[:, o3 + sa:o3 + sa + 128].astype(jnp.float32)
 
         def gru(h, xp, w_hh, b_hh):
             hp = dot(h, w_hh) + b_hh
@@ -147,32 +160,24 @@ def generate_scan_pallas(params: Params, mels: jnp.ndarray,
                          interpret: bool = False) -> jnp.ndarray:
     """Drop-in replacement for ``wavernn._generate_scan``: (B, T) samples.
 
-    Host-side (traced) prologue packs the hoisted projections + noise into
-    the (T, Bp, D) streaming block; the sequential loop runs in the kernel.
+    Host-side (traced) prologue packs the RAW conditioning + noise into the
+    lane-aligned (T, Bp, D) streaming block; the input projections and the
+    sequential loop both run in the kernel (weights VMEM-resident).
     """
-    B, T, _ = mels.shape
+    B, T, feat = mels.shape
     rd, fc, d = cfg.rnn_dims, cfg.fc_dims, cfg.aux_dims
     n_classes = cfg.n_classes
     raw_mode = cfg.mode == "RAW"
     nr_mix = n_classes // 3
     cdt = jnp.bfloat16 if fast_math else jnp.float32
 
-    prec = jax.lax.Precision.DEFAULT if fast_math \
-        else jax.lax.Precision.HIGHEST
-    _dot = functools.partial(jnp.matmul, precision=prec)
-
     a1, a2, a3, a4 = (aux[..., i * d:(i + 1) * d] for i in range(4))
 
-    wI = params["I"]["w"]
+    wI = params["I"]["w"]                      # (rd, 1 + feat + aux)
     w_x = wI[:, 0]
-    pre_I = _dot(jnp.concatenate([mels, a1], -1), wI[:, 1:].T) \
-        + params["I"]["b"]
-    w_ih2 = params["rnn2"]["w_ih"]
-    pre_r2 = _dot(a2, w_ih2[rd:]) + params["rnn2"]["b_ih"]
-    w_fc1 = params["fc1"]["w"]
-    pre_f1 = _dot(a3, w_fc1[:, rd:].T) + params["fc1"]["b"]
+    w_ih2 = params["rnn2"]["w_ih"]             # (rd + aux, 3rd)
+    w_fc1 = params["fc1"]["w"]                 # (fc, rd + aux)
     w_fc2 = params["fc2"]["w"]
-    pre_f2 = _dot(a4, w_fc2[:, fc:].T) + params["fc2"]["b"]
 
     # sampling noise (identical draw order to _generate_scan)
     k1, k2 = jax.random.split(key)
@@ -184,18 +189,37 @@ def generate_scan_pallas(params: Params, mels: jnp.ndarray,
     logistic = jnp.log(u2) - jnp.log(1.0 - u2)
 
     # ---- pack the streaming block (T, Bp, D) ----------------------------
+    # lane-aligned segments: [mel|a1|0](s0) [a2|0](sa) [a3|0] [a4|0]
+    # [noise](128) — raw conditioning, NOT pre-projected: 5x fewer lanes.
     Bp = max(8, _round_up(B, 8))
+    s0 = _round_up(feat + d, 128)
+    sa = _round_up(d, 128)
     noise = jnp.zeros((T, B, 128), jnp.float32)
     noise = noise.at[..., :pick_dim].set(gumbel)
     noise = noise.at[..., pick_dim].set(logistic)
-    parts = [jnp.swapaxes(p, 0, 1)
-             for p in (pre_I, pre_r2, pre_f1, pre_f2)] + [noise]
+
+    def z(n):
+        return jnp.zeros((T, B, n), jnp.float32)
+
+    parts = [jnp.swapaxes(mels, 0, 1), jnp.swapaxes(a1, 0, 1),
+             z(s0 - feat - d)]
+    for a in (a2, a3, a4):
+        parts += [jnp.swapaxes(a, 0, 1), z(sa - d)]
+    parts.append(noise)
     step_in = jnp.concatenate(parts, axis=-1)              # (T, B, D)
     D = step_in.shape[-1]
-    assert D == rd + 3 * rd + 2 * fc + 128
+    assert D == s0 + 3 * sa + 128
     step_in = jnp.pad(step_in, ((0, 0), (0, Bp - B), (0, 0))).astype(cdt)
 
     # ---- weights (VMEM-resident) ----------------------------------------
+    def pad_rows(w, rows):
+        return jnp.zeros((rows, w.shape[1]), cdt).at[:w.shape[0]].set(
+            w.astype(cdt))
+
+    w_c0 = pad_rows(wI[:, 1:].T, s0)               # [mel|a1] -> I
+    w_c1 = pad_rows(w_ih2[rd:], sa)                # a2 -> GRU2 in-proj
+    w_c2 = pad_rows(w_fc1[:, rd:].T, sa)           # a3 -> fc1
+    w_c3 = pad_rows(w_fc2[:, fc:].T, sa)           # a4 -> fc2
     w_ih1 = params["rnn1"]["w_ih"].astype(cdt)
     w_hh1 = params["rnn1"]["w_hh"].astype(cdt)
     w_ih2x = w_ih2[:rd].astype(cdt)
@@ -206,19 +230,23 @@ def generate_scan_pallas(params: Params, mels: jnp.ndarray,
         params["fc3"]["w"].T.astype(cdt))
     b3 = jnp.full((1, 128), -1e30, jnp.float32).at[0, :n_classes].set(
         params["fc3"]["b"])
+    bI = params["I"]["b"][None, :].astype(jnp.float32)
     b1 = (params["rnn1"]["b_ih"])[None, :].astype(jnp.float32)
     bh1 = (params["rnn1"]["b_hh"])[None, :].astype(jnp.float32)
+    bih2 = (params["rnn2"]["b_ih"])[None, :].astype(jnp.float32)
     bh2 = (params["rnn2"]["b_hh"])[None, :].astype(jnp.float32)
+    bf1 = (params["fc1"]["b"])[None, :].astype(jnp.float32)
+    bf2 = (params["fc2"]["b"])[None, :].astype(jnp.float32)
     w_x2 = w_x[None, :].astype(jnp.float32)
 
-    kern = functools.partial(_kernel, T=T, Bp=Bp, rd=rd, fc=fc,
-                             n_classes=n_classes, nr_mix=nr_mix,
+    kern = functools.partial(_kernel, T=T, Bp=Bp, rd=rd, fc=fc, s0=s0,
+                             sa=sa, n_classes=n_classes, nr_mix=nr_mix,
                              raw_mode=raw_mode, cdt=cdt)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((T, Bp), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [vmem] * 12,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [vmem] * 20,
         out_specs=vmem,
         scratch_shapes=[
             pltpu.VMEM((2, Bp, D), cdt),
@@ -227,6 +255,7 @@ def generate_scan_pallas(params: Params, mels: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(step_in, w_x2, w_ih1, w_hh1, w_ih2x, w_hh2, w_fc1x, w_fc2x, w_fc3,
-      b1, bh1, bh2, b3)
+    )(step_in, w_x2, w_c0, w_c1, w_c2, w_c3,
+      w_ih1, w_hh1, w_ih2x, w_hh2, w_fc1x, w_fc2x, w_fc3,
+      bI, b1, bh1, bih2, bh2, bf1, bf2, b3)
     return jnp.swapaxes(out, 0, 1)[:B]                     # (B, T)

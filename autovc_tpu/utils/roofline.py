@@ -144,17 +144,34 @@ def ae_train_cost(cfg, batch: int, t: int):
     return total, fwd_bytes * 3
 
 
+def _stream_lanes(cfg) -> int:
+    """Lane width of the Pallas kernel's streamed block: raw conditioning
+    in 128-aligned segments [mel|a1] [a2] [a3] [a4] [noise]."""
+    d = cfg.aux_dims
+
+    def up(x):
+        return ((x + 127) // 128) * 128
+
+    return up(cfg.feat_dims + d) + 3 * up(d) + 128
+
+
 def wavernn_step_cost(cfg, batch: int):
     """ONE sampling step of the Pallas WaveRNN kernel (per-batch-row cost).
 
-    FLOPs: 4 gate matmuls (rd x 3rd) + fc1 + fc2 + fc3(->128 lanes).
-    HBM bytes: only the streamed conditioning block (weights are
+    FLOPs: 4 gate matmuls (rd x 3rd) + fc1 + fc2 + fc3(->128 lanes) + the
+    4 in-kernel input projections from the 128-aligned raw segments.
+    HBM bytes: only the streamed raw-conditioning block (weights are
     VMEM-resident), bf16.
     """
-    rd, fc = cfg.rnn_dims, cfg.fc_dims
+    rd, fc, d = cfg.rnn_dims, cfg.fc_dims, cfg.aux_dims
+
+    def up(x):
+        return ((x + 127) // 128) * 128
+
     flops = 2 * batch * (4 * rd * 3 * rd + rd * fc + fc * fc + fc * 128)
-    d_stream = rd + 3 * rd + 2 * fc + 128
-    bytes_ = batch * d_stream * 2           # bf16 stream
+    flops += 2 * batch * (up(cfg.feat_dims + d) * rd + up(d) * 3 * rd
+                          + 2 * up(d) * fc)
+    bytes_ = batch * _stream_lanes(cfg) * 2           # bf16 stream
     return flops, bytes_
 
 
@@ -189,14 +206,17 @@ def wavernn_conditioning_cost(cfg, batch: int, t: int):
 
 
 def wavernn_prologue_cost(cfg, folds: int, t_steps: int):
-    """Hoisted per-step input projections + noise packing inside
-    generate_scan_pallas (ops/wavernn_pallas.py:164-196)."""
-    rd, fc, d = cfg.rnn_dims, cfg.fc_dims, cfg.aux_dims
+    """Streaming-block pack inside generate_scan_pallas: transpose/concat
+    of the raw conditioning + noise generation (the input projections now
+    run IN-kernel against VMEM weights, so the prologue does no matmuls)."""
+    d = cfg.aux_dims
     feat = cfg.feat_dims
-    flops = 2 * folds * t_steps * ((feat + d) * rd + d * 3 * rd
-                                   + 2 * d * fc)
-    d_stream = rd + 3 * rd + 2 * fc + 128
-    bytes_ = folds * t_steps * (4 * (feat + 4 * d) + 2 * d_stream)
+    # noise: threefry + 2 transcendentals per draw, ~32 flops/draw
+    pick = cfg.n_classes if cfg.mode == "RAW" else cfg.n_classes // 3
+    flops = 32 * folds * t_steps * (pick + 1)
+    # read cond+aux f32, write the packed lane-aligned block (cdt=bf16)
+    bytes_ = folds * t_steps * (4 * (feat + 4 * d)
+                                + 2 * _stream_lanes(cfg))
     return flops, bytes_
 
 

@@ -49,9 +49,11 @@ class VoiceConverter:
         Unlike the reference (which mutates module-level dicts in place,
         voice_converter.py:67-70), overrides merge into an immutable config.
 
-        ``rnn_backend`` / ``vocoder_backend`` select the inference kernels:
-        'auto' (Pallas on TPU — bf16 LSTM kernels, ~1e-2 abs divergence from
-        the f32 scans), 'xla' (exact-parity `lax.scan`), or 'pallas'.
+        ``rnn_backend`` / ``vocoder_backend`` select the inference kernels.
+        rnn_backend (AE LSTMs): 'auto' == 'xla' (exact f32 scan — also the
+        fastest on v5e for the AE's shapes) or 'pallas' (bf16 VMEM-resident
+        kernel, ~1e-2 abs divergence).  vocoder_backend: 'auto' (Pallas
+        sampling kernel on TPU, XLA scan elsewhere), 'xla', or 'pallas'.
         Defaults come from ``AUTOVC_RNN_BACKEND`` / ``AUTOVC_VOCODER_BACKEND``
         env vars, falling back to 'auto'.
         """
@@ -132,7 +134,7 @@ class VoiceConverter:
                 cut: bool = True, overlap: float = 0.5,
                 audio_log_dict: Dict[str, Any] | None = None,
                 seed: int = 0, use_ema: bool = False,
-                pad_to_seconds: float | None = None, **mel_kwargs):
+                pad_to_seconds: float | None = None):
         """Convert the content of ``source`` into the voice of ``target``.
 
         Mirrors voice_converter.py:88-211.  ``target`` may be a wav path or a
