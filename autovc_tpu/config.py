@@ -116,6 +116,11 @@ class LearnConfig:
     save_dir: str = "models/AutoVC"
     ema_decay: float = 0.9999
     batch_size: int = 16
+    # Matmul/conv compute policy for the train step: "bf16" (MXU-native
+    # operands, f32 accumulation + f32 master weights/opt-state/BN stats —
+    # ~2x step time on TPU) or "f32" (Precision.HIGHEST everywhere, exact
+    # reference parity).  See ops/precision.py.
+    precision: str = "bf16"
 
     def with_overrides(self, **kw) -> "LearnConfig":
         return _merge(self, kw)

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from autovc_tpu.config import AutoEncoderConfig
 from autovc_tpu.ops import conv as C
+from autovc_tpu.ops import precision as PREC
 from autovc_tpu.ops import rnn as R
 
 Params = Dict[str, Any]
@@ -75,22 +76,6 @@ def init(key, cfg: AutoEncoderConfig = AutoEncoderConfig()) -> Params:
     }
 
 
-def _rnn_impls(rnn_backend: str, train: bool):
-    """Pick the recurrence implementation.
-
-    'auto' resolves to the XLA fused-gate scan everywhere: after the
-    hoisted-projection + 8x-unroll work it is both FASTER than the bf16
-    Pallas LSTM kernel on the AE's shapes (v5e, chunk-batch forward:
-    2.7 ms XLA f32 vs 4.0 ms Pallas bf16, bench_details.json r2) and
-    exact f32.  The Pallas kernel (ops/lstm_pallas.py) stays selectable
-    via rnn_backend='pallas' for inference experiments."""
-    use_pallas = (not train) and rnn_backend == "pallas"
-    if use_pallas:
-        from autovc_tpu.ops import lstm_pallas as LP
-        return LP.lstm_stack_pallas, LP.bilstm_stack_pallas
-    return R.lstm_stack, R.bilstm_stack
-
-
 class EncoderOut(NamedTuple):
 
     codes_fwd: jnp.ndarray   # (B, n_fwd, dim_neck)
@@ -99,7 +84,7 @@ class EncoderOut(NamedTuple):
 
 def encoder(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
             freq: int, dim_neck: int, train: bool = False,
-            axis_name: str | None = None, rnn_backend: str = "auto"):
+            axis_name: str | None = None):
     """(B, n_mels, T), (B, emb) -> downsampled codes.  Returns
     (EncoderOut, new_encoder_params)."""
     T = x.shape[-1]
@@ -112,8 +97,7 @@ def encoder(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
                           axis_name=axis_name)
         new_convs.append(p2)
     h = jnp.swapaxes(h, 1, 2)                       # (B, T, 512)
-    _, bilstm_stack = _rnn_impls(rnn_backend, train)
-    out = bilstm_stack(params["blstm"], h)          # (B, T, 2*neck)
+    out = R.bilstm_stack(params["blstm"], h)        # (B, T, 2*neck)
     out_f, out_b = out[..., :dim_neck], out[..., dim_neck:]
     codes_fwd = out_f[:, freq - 1::freq, :]
     codes_bwd = out_b[:, ::freq, :]
@@ -136,10 +120,9 @@ def upsample_codes(codes_fwd: jnp.ndarray, codes_bwd: jnp.ndarray,
 
 
 def decoder(params: Params, x: jnp.ndarray, train: bool = False,
-            axis_name: str | None = None, rnn_backend: str = "auto"):
+            axis_name: str | None = None):
     """(B, T, 2*neck+emb) -> (B, T, n_mels).  Returns (mel, new_params)."""
-    lstm_stack, _ = _rnn_impls(rnn_backend, train)
-    h, _, _ = lstm_stack(params["lstm1"], x)
+    h, _, _ = R.lstm_stack(params["lstm1"], x)
     h = jnp.swapaxes(h, 1, 2)
     new_convs = []
     for p in params["convs"]:
@@ -147,7 +130,7 @@ def decoder(params: Params, x: jnp.ndarray, train: bool = False,
                           axis_name=axis_name)
         new_convs.append(p2)
     h = jnp.swapaxes(h, 1, 2)
-    h, _, _ = lstm_stack(params["lstm2"], h)
+    h, _, _ = R.lstm_stack(params["lstm2"], h)
     mel = C.linear(params["proj"], h)
     return mel, dict(params, convs=new_convs)
 
@@ -177,19 +160,17 @@ def _flatten_codes(enc: EncoderOut) -> jnp.ndarray:
 
 def content_codes(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
                   cfg: AutoEncoderConfig, train: bool = False,
-                  axis_name: str | None = None, rnn_backend: str = "auto"):
+                  axis_name: str | None = None):
     """Encoder-only pass (the reference's ``forward(..., c_trg=None)``,
     model.py:98-101).  Returns (codes, new_params)."""
     enc, enc_new = encoder(params["encoder"], x, c_org, cfg.freq,
-                           cfg.dim_neck, train=train, axis_name=axis_name,
-                           rnn_backend=rnn_backend)
+                           cfg.dim_neck, train=train, axis_name=axis_name)
     return _flatten_codes(enc), dict(params, encoder=enc_new)
 
 
 def forward(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
             c_trg: jnp.ndarray, cfg: AutoEncoderConfig,
-            train: bool = False, axis_name: str | None = None,
-            rnn_backend: str = "auto"):
+            train: bool = False, axis_name: str | None = None):
     """Full generator pass.
 
     Args:
@@ -200,8 +181,7 @@ def forward(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
     """
     T = x.shape[-1]
     enc, enc_new = encoder(params["encoder"], x, c_org, cfg.freq,
-                           cfg.dim_neck, train=train, axis_name=axis_name,
-                           rnn_backend=rnn_backend)
+                           cfg.dim_neck, train=train, axis_name=axis_name)
     codes = _flatten_codes(enc)
 
     up = upsample_codes(enc.codes_fwd, enc.codes_bwd, cfg.freq, T)
@@ -209,7 +189,7 @@ def forward(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
         [up, jnp.broadcast_to(c_trg[:, None, :], (x.shape[0], T,
                                                   c_trg.shape[-1]))], axis=-1)
     mel_dec, dec_new = decoder(params["decoder"], dec_in, train=train,
-                               axis_name=axis_name, rnn_backend=rnn_backend)
+                               axis_name=axis_name)
     mel_dec = jnp.swapaxes(mel_dec, 1, 2)           # (B, n_mels, T)
     residual, post_new = postnet(params["postnet"], mel_dec, train=train,
                                  axis_name=axis_name)
@@ -245,10 +225,14 @@ def loss(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
 def batch_forward(params: Params, chunks: jnp.ndarray, c_org: jnp.ndarray,
                   c_trg: jnp.ndarray, cfg: AutoEncoderConfig,
                   overlap: float = 0.5,
-                  rnn_backend: str = "auto") -> jnp.ndarray:
+                  precision: str = "f32") -> jnp.ndarray:
     """Convert overlapping mel chunks as one batch and merge by mean
     overlap-add (the reference's NaN-pad + nanmean, model.py:395-437,
     expressed as a sum/count overlap-add — identical result, no NaNs).
+
+    ``precision``: "f32" (exact, Precision.HIGHEST), "bf16" (MXU-native
+    operands, ~4x faster on v5e, mel MSE ~1e-6 vs f32 — gated in bench),
+    or "auto" (bf16 on TPU, f32 elsewhere).
 
     Args:
       chunks: (M, n_mels, N) mel slices with hop N*(1-overlap).
@@ -258,8 +242,9 @@ def batch_forward(params: Params, chunks: jnp.ndarray, c_org: jnp.ndarray,
     M, n_mels, N = chunks.shape
     c_org = jnp.broadcast_to(c_org, (M, c_org.shape[-1]))
     c_trg = jnp.broadcast_to(c_trg, (M, c_trg.shape[-1]))
-    _, mel_post, _, _ = forward(params, chunks, c_org, c_trg, cfg,
-                                train=False, rnn_backend=rnn_backend)
+    with PREC.compute(PREC.resolve(precision)):
+        _, mel_post, _, _ = forward(params, chunks, c_org, c_trg, cfg,
+                                    train=False)
     step = int(N * (1 - overlap))
     total = N + (M - 1) * step
     acc = jnp.zeros((n_mels, total), mel_post.dtype)
@@ -279,17 +264,17 @@ def batch_forward(params: Params, chunks: jnp.ndarray, c_org: jnp.ndarray,
 # count; outputs only, so no state pytree round-trips on the hot path).
 batch_forward_jit = jax.jit(batch_forward,
                             static_argnames=("cfg", "overlap",
-                                             "rnn_backend"))
+                                             "precision"))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("counts", "cfg", "overlap",
-                                    "rnn_backend"))
+                                    "precision"))
 def batch_forward_many(params: Params, chunks: jnp.ndarray,
                        c_orgs: jnp.ndarray, c_trg: jnp.ndarray,
                        counts: tuple, cfg: AutoEncoderConfig,
                        overlap: float = 0.5,
-                       rnn_backend: str = "auto"):
+                       precision: str = "f32"):
     """Convert SEVERAL utterances' chunks in ONE forward pass.
 
     Per-utterance calls leave the MXU idle: one 7 s utterance is ~17 chunk
@@ -308,8 +293,9 @@ def batch_forward_many(params: Params, chunks: jnp.ndarray,
     """
     rows, n_mels, N = chunks.shape
     c_trg_b = jnp.broadcast_to(c_trg, (rows, c_trg.shape[-1]))
-    _, mel_post, _, _ = forward(params, chunks, c_orgs, c_trg_b, cfg,
-                                train=False, rnn_backend=rnn_backend)
+    with PREC.compute(PREC.resolve(precision)):
+        _, mel_post, _, _ = forward(params, chunks, c_orgs, c_trg_b, cfg,
+                                    train=False)
     step = int(N * (1 - overlap))
     outs, row = [], 0
     for M in counts:
@@ -329,11 +315,137 @@ def batch_forward_many(params: Params, chunks: jnp.ndarray,
     return outs
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "rnn_backend"))
+# ---------------------------------------------------------------------------
+# Shape-stable batch serving: fixed-row slabs + dynamic-offset packed merge
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "precision"))
+def convert_slab(params: Params, chunks: jnp.ndarray, c_orgs: jnp.ndarray,
+                 c_trgs: jnp.ndarray, cfg: AutoEncoderConfig,
+                 precision: str = "f32") -> jnp.ndarray:
+    """One fixed-shape slab of chunk rows through the generator:
+    (S, n_mels, N) -> (S, n_mels, N) postnet mels.
+
+    The slab is the unit of compilation for batch serving: any workload is
+    cut into S-row passes of ONE compiled program (the r2 design compiled a
+    fresh ``batch_forward_many`` per chunk-count distribution — 82 s of
+    cold serve compile for a program this size)."""
+    with PREC.compute(PREC.resolve(precision)):
+        _, mel_post, _, _ = forward(params, chunks, c_orgs, c_trgs, cfg,
+                                    train=False)
+    return mel_post
+
+
+@functools.partial(jax.jit, static_argnames=("out_frames",))
+def merge_rows(mel_rows: jnp.ndarray, offsets: jnp.ndarray,
+               out_frames: int) -> jnp.ndarray:
+    """Mean overlap-add of converted chunk rows at DYNAMIC frame offsets
+    into one packed (n_mels, out_frames) timeline.
+
+    The offsets are data, not shape: one compiled program serves every
+    utterance-count / chunk-count distribution (the merge is the same
+    nanmean-equivalent sum/count overlap-add as :func:`batch_forward`,
+    reference auto_encoder/model.py:431-437).  Padding rows point at the
+    trash window [out_frames, out_frames + N) and never reach the output.
+    """
+    R, n_mels, N = mel_rows.shape
+    acc = jnp.zeros((n_mels, out_frames + N), mel_rows.dtype)
+    cnt = jnp.zeros((1, out_frames + N), mel_rows.dtype)
+    ones = jnp.ones((1, N), mel_rows.dtype)
+
+    def body(carry, row):
+        acc, cnt = carry
+        mel, off = row
+        acc = jax.lax.dynamic_update_slice(
+            acc, jax.lax.dynamic_slice(acc, (0, off), (n_mels, N)) + mel,
+            (0, off))
+        cnt = jax.lax.dynamic_update_slice(
+            cnt, jax.lax.dynamic_slice(cnt, (0, off), (1, N)) + ones,
+            (0, off))
+        return (acc, cnt), 0
+
+    (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), (mel_rows, offsets))
+    merged = jnp.where(cnt > 0, acc / jnp.maximum(cnt, 1), 0.0)
+    return merged[:, :out_frames]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def batch_forward_packed(params: Params, chunk_sets, c_orgs, c_trg,
+                         cfg: AutoEncoderConfig, overlap: float = 0.5,
+                         precision: str = "f32", slab_rows: int = 64,
+                         gap: int = 0, frame_bucket: int = 256):
+    """Convert SEVERAL utterances' chunks through fixed-shape slab programs
+    and merge them into ONE packed mel timeline on device.
+
+    Compilation cost is workload-independent: the generator compiles once
+    per ``slab_rows`` and the merge once per (row-bucket, frame-bucket)
+    pair.  Slab passes are dispatched asynchronously, so slab i+1's upload
+    overlaps slab i's compute.
+
+    Args:
+      chunk_sets: list of (M_i, n_mels, N) mel slices (hop N*(1-overlap)).
+      c_orgs: list of (dim_emb,) source embeddings, one per utterance.
+      c_trg: (1, dim_emb) shared target embedding.
+      gap: zero frames inserted before/after each utterance in the packed
+        timeline (the vocoder's packed conditioning needs ``pad`` frames of
+        silence between utterances to reproduce its per-utterance zero-pad
+        semantics, wavernn/model.py:346-356).
+    Returns: (packed (n_mels, Fp_bucket) device array, starts, lengths) —
+      utterance u occupies packed[:, starts[u] : starts[u] + lengths[u]];
+      host-side starts/lengths are plain ints (Fp real = starts[-1] +
+      lengths[-1] + gap).
+    """
+    import numpy as np
+
+    n_mels, N = chunk_sets[0].shape[1:]
+    if not (0 < slab_rows and slab_rows % 8 == 0):
+        raise ValueError(f"slab_rows must be a positive multiple of 8, "
+                         f"got {slab_rows}")
+    step = int(N * (1 - overlap))
+    counts = [int(ch.shape[0]) for ch in chunk_sets]
+    lengths = [N + (m - 1) * step for m in counts]
+    starts, o = [], gap
+    for L in lengths:
+        starts.append(o)
+        o += L + 2 * gap
+    Fp = starts[-1] + lengths[-1] + gap
+    Fp_b = _round_up(Fp, frame_bucket)
+
+    rows = sum(counts)
+    R_b = _round_up(rows, slab_rows)
+    stacked = jnp.concatenate(list(chunk_sets), axis=0)
+    if R_b != rows:
+        stacked = jnp.pad(stacked, ((0, R_b - rows), (0, 0), (0, 0)))
+    c_rows = np.zeros((R_b, np.shape(c_trg)[-1]), np.float32)
+    offsets = np.full((R_b,), Fp_b, np.int32)          # default: trash window
+    r = 0
+    for u, m in enumerate(counts):
+        c_rows[r:r + m] = np.asarray(c_orgs[u])[None]
+        offsets[r:r + m] = starts[u] + np.arange(m) * step
+        r += m
+
+    c_trgs = jnp.broadcast_to(jnp.asarray(c_trg).reshape(1, -1),
+                              (slab_rows, np.shape(c_trg)[-1]))
+    mel_rows = [convert_slab(params, stacked[s:s + slab_rows],
+                             jnp.asarray(c_rows[s:s + slab_rows]), c_trgs,
+                             cfg, precision)
+                for s in range(0, R_b, slab_rows)]
+    mel_rows = mel_rows[0] if len(mel_rows) == 1 \
+        else jnp.concatenate(mel_rows, axis=0)
+    packed = merge_rows(mel_rows, jnp.asarray(offsets), Fp_b)
+    return packed, starts, lengths
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "precision"))
 def infer(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
           c_trg: jnp.ndarray, cfg: AutoEncoderConfig,
-          rnn_backend: str = "auto") -> jnp.ndarray:
+          precision: str = "f32") -> jnp.ndarray:
     """Eval-mode postnet mel only."""
-    _, mel_post, _, _ = forward(params, x, c_org, c_trg, cfg, train=False,
-                                rnn_backend=rnn_backend)
+    with PREC.compute(PREC.resolve(precision)):
+        _, mel_post, _, _ = forward(params, x, c_org, c_trg, cfg,
+                                    train=False)
     return mel_post

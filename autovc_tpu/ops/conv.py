@@ -17,6 +17,8 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
+from autovc_tpu.ops import precision as PREC
+
 Params = Dict[str, Any]
 
 _GAINS = {
@@ -59,13 +61,14 @@ def init_conv1d(key, in_channels: int, out_channels: int, kernel_size: int,
 def conv1d(params: Params, x: jnp.ndarray, padding: int = 0,
            stride: int = 1, dilation: int = 1) -> jnp.ndarray:
     """(B, C_in, T) -> (B, C_out, T')."""
-    out = jax.lax.conv_general_dilated(
-        x, params["w"],
+    lhs, rhs = PREC.conv_operands(x, params["w"])
+    out = PREC.conv_output(jax.lax.conv_general_dilated(
+        lhs, rhs,
         window_strides=(stride,),
         padding=[(padding, padding)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=CONV_PRECISION)
+        **PREC.conv_kwargs()))
     if "b" in params:
         out = out + params["b"][None, :, None]
     return out
@@ -83,7 +86,7 @@ def init_linear(key, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    out = jnp.matmul(x, params["w"].T, precision=CONV_PRECISION)
+    out = PREC.dot(x, params["w"].T)
     if "b" in params:
         out = out + params["b"]
     return out

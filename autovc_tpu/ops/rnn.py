@@ -23,15 +23,18 @@ from typing import Any, Dict, List, Sequence
 import jax
 import jax.numpy as jnp
 
+from autovc_tpu.ops import precision as PREC
+
 Params = Dict[str, Any]
 
-# Recurrences are parity-tested against PyTorch at rtol 1e-4; keep full fp32
-# matmuls (the tensors are small — the batch dimension provides MXU work).
+# Recurrences are parity-tested against PyTorch at rtol 1e-4; the default
+# policy keeps full fp32 matmuls (the tensors are small — the batch dimension
+# provides MXU work).  Training loops opt into bf16 via PREC.compute("bf16").
 DOT_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _dot(a, b):
-    return jnp.matmul(a, b, precision=DOT_PRECISION)
+    return PREC.dot(a, b)
 
 
 def _scan_unroll() -> int:

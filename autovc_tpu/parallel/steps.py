@@ -51,22 +51,28 @@ def initialize_distributed(coordinator_address: str | None = None,
 def make_sharded_ae_step(cfg: AutoEncoderConfig,
                          tx: optax.GradientTransformation,
                          ema_decay: float, mesh: Mesh,
-                         params_example) -> Callable:
+                         params_example,
+                         precision: str | None = None) -> Callable:
     """DP(+TP)-sharded AutoVC train step.
 
     Returns a jitted ``step(params, opt_state, ema, x, c_org)`` whose batch
     inputs must be sharded on ``data`` and whose states follow the TP rule
-    table (replicated on a data-only mesh).
+    table (replicated on a data-only mesh).  ``precision`` follows
+    :func:`autovc_tpu.train.loop.make_ae_step` (bf16 compute by default,
+    f32 master state).
     """
     from autovc_tpu.models import autoencoder as AE
+    from autovc_tpu.ops import precision as PREC
 
+    precision = precision or cfg.learn.precision
     p_shard = shd.param_shardings(params_example, mesh)
     repl = shd.replicated(mesh)
     batch = NamedSharding(mesh, P("data"))
 
     def step(params, opt_state, ema, x, c_org):
-        (loss_val, (aux, params_bn)), grads = jax.value_and_grad(
-            AE.loss, has_aux=True)(params, x, c_org, cfg)
+        with PREC.compute(precision):
+            (loss_val, (aux, params_bn)), grads = jax.value_and_grad(
+                AE.loss, has_aux=True)(params, x, c_org, cfg)
         updates, opt_state = tx.update(grads, opt_state, params_bn)
         new_params = optax.apply_updates(params_bn, updates)
         ema = base_loop.ema_update(ema, new_params, ema_decay)
@@ -83,17 +89,21 @@ def make_sharded_ae_step(cfg: AutoEncoderConfig,
 
 def make_sharded_se_step(cfg: SpeakerEncoderConfig,
                          tx: optax.GradientTransformation, mesh: Mesh,
-                         params_example) -> Callable:
+                         params_example,
+                         precision: str | None = None) -> Callable:
     """GE2E step sharded over the speaker axis of the (S, U, T, M) block."""
     from autovc_tpu.models import speaker_encoder as SE
+    from autovc_tpu.ops import precision as PREC
 
+    precision = precision or cfg.learn.precision
     p_shard = shd.param_shardings(params_example, mesh)
     repl = shd.replicated(mesh)
     batch = NamedSharding(mesh, P("data"))
 
     def step(params, opt_state, block):
-        loss_val, grads = jax.value_and_grad(SE.batch_ge2e_loss)(params,
-                                                                 block)
+        with PREC.compute(precision):
+            loss_val, grads = jax.value_and_grad(SE.batch_ge2e_loss)(
+                params, block)
         grads = dict(grads,
                      similarity_weight=grads["similarity_weight"] * 0.01,
                      similarity_bias=grads["similarity_bias"] * 0.01)
@@ -119,10 +129,10 @@ def make_sharded_convert(cfg: AutoEncoderConfig, mesh: Mesh,
     chunk = NamedSharding(mesh, P("data"))
 
     def convert(params, chunks, c_org, c_trg):
-        # rnn_backend="xla": the Pallas LSTM kernel is opaque to GSPMD, so
-        # the sharded program keeps the partitionable lax.scan recurrence.
+        # f32: the sharded convert is the exactness reference for the
+        # 8-device CPU-mesh equality tests (tests/test_parallel.py).
         return AE.batch_forward(params, chunks, c_org, c_trg, cfg,
-                                overlap=overlap, rnn_backend="xla")
+                                overlap=overlap, precision="f32")
 
     return jax.jit(convert,
                    in_shardings=(p_shard, chunk, repl, repl),

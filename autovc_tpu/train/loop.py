@@ -42,13 +42,24 @@ def ema_update(ema, params, decay: float):
 
 
 def make_ae_step(cfg: AutoEncoderConfig, tx: optax.GradientTransformation,
-                 ema_decay: float, axis_name: str | None = None) -> Callable:
+                 ema_decay: float, axis_name: str | None = None,
+                 precision: str | None = None) -> Callable:
+    """AutoVC train step.  ``precision`` ("bf16" default from
+    ``cfg.learn.precision``) selects the matmul/conv compute policy: bf16
+    operands with f32 accumulation halve the MXU passes while master
+    weights, gradients, Adam state, EMA and BatchNorm statistics all stay
+    f32 (ops/precision.py).  The reference trains pure f32
+    (auto_encoder/model.py:300-318) — pass precision="f32" for that."""
     from autovc_tpu.models import autoencoder as AE
+    from autovc_tpu.ops import precision as PREC
+
+    precision = precision or cfg.learn.precision
 
     def step(params, opt_state, ema, x, c_org):
-        (loss_val, (aux, params_bn)), grads = jax.value_and_grad(
-            AE.loss, has_aux=True)(params, x, c_org, cfg,
-                                   axis_name=axis_name)
+        with PREC.compute(precision):
+            (loss_val, (aux, params_bn)), grads = jax.value_and_grad(
+                AE.loss, has_aux=True)(params, x, c_org, cfg,
+                                       axis_name=axis_name)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
         updates, opt_state = tx.update(grads, opt_state, params_bn)
@@ -72,7 +83,8 @@ def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
                       logger=None, verbose: bool = True,
                       on_epoch_end: Callable | None = None,
                       start_step: int = 0, resume: bool = False,
-                      opt_overrides: Dict[str, Any] | None = None):
+                      opt_overrides: Dict[str, Any] | None = None,
+                      precision: str | None = None):
     """AutoVC training (auto_encoder/model.py:218-361).  Returns
     (params, ema_params, info-dict).
 
@@ -107,12 +119,14 @@ def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
             blob = load_checkpoint(latest)
             params = blob["params"]
             ema = blob.get("ema_params", ema)
-            opt_state = blob.get("opt_state", opt_state)
+            if "opt_state" in blob:
+                from autovc_tpu.utils.checkpoint import restore_like
+                opt_state = restore_like(opt_state, blob["opt_state"])
             start_step = int(blob.get("step", start_step) or 0)
             if verbose:
                 print(f"Resumed from '{latest}' at step {start_step}")
 
-    step_fn = make_ae_step(cfg, tx, ema_decay)
+    step_fn = make_ae_step(cfg, tx, ema_decay, precision=precision)
 
     n_total = n_epochs * steps_per_epoch
     step = start_step
@@ -139,9 +153,11 @@ def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
                 running, log_steps = 0.0, 0
         if (epoch % save_freq == 0 or epoch == n_epochs) and model_name:
             from autovc_tpu.utils.checkpoint import save_checkpoint
+            # async: the write happens off-thread, the loop keeps stepping
             save_checkpoint(f"{save_dir.rstrip('/')}/{model_name}",
                             {"step": step, "params": params,
-                             "ema_params": ema, "opt_state": opt_state})
+                             "ema_params": ema, "opt_state": opt_state},
+                            block=False)
         if logger is not None and x is not None and (
                 epoch % save_freq == 0 or epoch == n_epochs):
             # original-vs-reconstruction mel figure, as the reference logs
@@ -159,6 +175,8 @@ def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
                     print(f"[metrics] figure skipped: {e}")
         if on_epoch_end is not None:
             on_epoch_end(epoch, params)
+    from autovc_tpu.utils.checkpoint import wait_for_saves
+    wait_for_saves()
     if verbose:
         close_progbar()
     return params, ema, {"step": step, "opt_state": opt_state}
@@ -171,12 +189,17 @@ def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
 
 def make_se_step(cfg: SpeakerEncoderConfig,
                  tx: optax.GradientTransformation,
-                 axis_name: str | None = None) -> Callable:
+                 axis_name: str | None = None,
+                 precision: str | None = None) -> Callable:
     from autovc_tpu.models import speaker_encoder as SE
+    from autovc_tpu.ops import precision as PREC
+
+    precision = precision or cfg.learn.precision
 
     def step(params, opt_state, batch):
-        loss_val, grads = jax.value_and_grad(SE.batch_ge2e_loss)(params,
-                                                                 batch)
+        with PREC.compute(precision):
+            loss_val, grads = jax.value_and_grad(SE.batch_ge2e_loss)(
+                params, batch)
         # similarity weight/bias gradient scaling (model.py:62-65).
         grads = dict(grads,
                      similarity_weight=grads["similarity_weight"] * 0.01,
@@ -227,7 +250,9 @@ def train_speaker_encoder(params, dataset, cfg: SpeakerEncoderConfig,
         if latest is not None:
             blob = load_checkpoint(latest)
             params = blob["params"]
-            opt_state = blob.get("opt_state", opt_state)
+            if "opt_state" in blob:
+                from autovc_tpu.utils.checkpoint import restore_like
+                opt_state = restore_like(opt_state, blob["opt_state"])
             start_step = int(blob.get("step", start_step) or 0)
             if speakers is not None:
                 speakers.update(blob.get("speakers", {}))
@@ -255,7 +280,7 @@ def train_speaker_encoder(params, dataset, cfg: SpeakerEncoderConfig,
             save_checkpoint(f"{save_dir.rstrip('/')}/{model_name}",
                             {"step": step, "params": params,
                              "speakers": speakers or {},
-                             "opt_state": opt_state})
+                             "opt_state": opt_state}, block=False)
         if logger is not None and (epoch % save_freq == 0
                                    or epoch == n_epochs):
             # TSNE embedding scatter, as the reference logs each save epoch
@@ -272,6 +297,8 @@ def train_speaker_encoder(params, dataset, cfg: SpeakerEncoderConfig,
             except Exception as e:  # matplotlib/sklearn optional extras
                 if verbose:
                     print(f"[metrics] figure skipped: {e}")
+    from autovc_tpu.utils.checkpoint import wait_for_saves
+    wait_for_saves()
     if verbose:
         close_progbar()
     return params, {"step": step, "opt_state": opt_state}
@@ -283,16 +310,19 @@ def train_speaker_encoder(params, dataset, cfg: SpeakerEncoderConfig,
 
 
 def make_vocoder_step(cfg: WaveRNNConfig, tx: optax.GradientTransformation,
-                      axis_name: str | None = None) -> Callable:
+                      axis_name: str | None = None,
+                      precision: str = "bf16") -> Callable:
     from autovc_tpu.models import wavernn as WR
+    from autovc_tpu.ops import precision as PREC
 
     def step(params, opt_state, x_in, y, mels):
         def loss_fn(p):
             l, new_p = WR.loss(p, x_in, y, mels, cfg, train=True)
             return l, new_p
 
-        (loss_val, params_bn), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+        with PREC.compute(precision):
+            (loss_val, params_bn), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss_val = jax.lax.pmean(loss_val, axis_name)
@@ -322,7 +352,9 @@ def train_vocoder(params, dataset, cfg: WaveRNNConfig,
         if latest is not None:
             blob = load_checkpoint(latest)
             params = blob["params"]
-            opt_state = blob.get("opt_state", opt_state)
+            if "opt_state" in blob:
+                from autovc_tpu.utils.checkpoint import restore_like
+                opt_state = restore_like(opt_state, blob["opt_state"])
             start_step = int(blob.get("step", start_step) or 0)
             if verbose:
                 print(f"Resumed from '{latest}' at step {start_step}")
@@ -348,7 +380,9 @@ def train_vocoder(params, dataset, cfg: WaveRNNConfig,
             save_checkpoint(f"{(save_dir or cfg.model_dir).rstrip('/')}/"
                             f"{model_name}",
                             {"step": step, "params": params,
-                             "opt_state": opt_state})
+                             "opt_state": opt_state}, block=False)
+    from autovc_tpu.utils.checkpoint import wait_for_saves
+    wait_for_saves()
     if verbose:
         close_progbar()
     return params, {"step": step, "opt_state": opt_state}

@@ -42,20 +42,21 @@ class VoiceConverter:
                  vocoder_params: Dict[str, Any] | None = None,
                  wandb_params: Dict[str, Any] | None = None,
                  verbose: bool = True,
-                 rnn_backend: str | None = None,
+                 ae_precision: str | None = None,
                  vocoder_backend: str | None = None):
         """Build a converter from checkpoint names/paths + config overrides.
 
         Unlike the reference (which mutates module-level dicts in place,
         voice_converter.py:67-70), overrides merge into an immutable config.
 
-        ``rnn_backend`` / ``vocoder_backend`` select the inference kernels.
-        rnn_backend (AE LSTMs): 'auto' == 'xla' (exact f32 scan — also the
-        fastest on v5e for the AE's shapes) or 'pallas' (bf16 VMEM-resident
-        kernel, ~1e-2 abs divergence).  vocoder_backend: 'auto' (Pallas
-        sampling kernel on TPU, XLA scan elsewhere), 'xla', or 'pallas'.
-        Defaults come from ``AUTOVC_RNN_BACKEND`` / ``AUTOVC_VOCODER_BACKEND``
-        env vars, falling back to 'auto'.
+        ``ae_precision`` selects the auto-encoder inference compute policy:
+        'auto' (bf16 on TPU — the MXU-native multiply, ~4x faster, mel MSE
+        ~1e-6 vs f32, equivalence-gated in bench.py — f32 elsewhere),
+        'bf16', or 'f32' (Precision.HIGHEST, exact reference parity).
+        ``vocoder_backend``: 'auto' (Pallas sampling kernel on TPU, XLA
+        scan elsewhere), 'xla', or 'pallas'.  Defaults come from
+        ``AUTOVC_AE_PRECISION`` / ``AUTOVC_VOCODER_BACKEND`` env vars,
+        falling back to 'auto'.
         """
         cfg = config or ConverterConfig()
         if auto_encoder_params:
@@ -69,8 +70,9 @@ class VoiceConverter:
         self.config = cfg
         self.verbose = verbose
         self.logger: MetricsLogger | None = None
-        self.rnn_backend = (rnn_backend
-                            or os.environ.get("AUTOVC_RNN_BACKEND", "auto"))
+        self.ae_precision = (
+            ae_precision
+            or os.environ.get("AUTOVC_AE_PRECISION", "auto"))
         self.vocoder_backend = (
             vocoder_backend
             or os.environ.get("AUTOVC_VOCODER_BACKEND", "auto"))
@@ -194,12 +196,12 @@ class VoiceConverter:
                 audio_src.wav, mel_cfg, overlap=overlap)
             post_mel = AEm.batch_forward_jit(
                 ae_params, chunks, c_source, c_target, ae_cfg, overlap,
-                self.rnn_backend)
+                self.ae_precision)
         else:
             mel = dsp.mel_spec_auto_encoder(audio_src.wav, mel_cfg)
             post_mel = AEm.infer(ae_params, mel[None],
                                  c_source, c_target, ae_cfg,
-                                 rnn_backend=self.rnn_backend)[0]
+                                 precision=self.ae_precision)[0]
 
         waveform = WRm.generate(self.vocoder.params, post_mel[None],
                                 self.vocoder.config,
@@ -297,28 +299,16 @@ class VoiceConverter:
             all_chunks.append(chunks)
             c_orgs.append(self._embed(audio))
 
-        # Per-utterance AE conversion + overlap-add merge on device (async
-        # dispatch pipelines the utterances), then one joint vocoder pass —
-        # nothing but the finished waveforms crosses the host boundary.
+        # Shape-stable serving: every utterance's chunks run through
+        # fixed-row slab programs (one compile for ANY workload) and merge
+        # into one packed mel timeline on device; per-utterance views feed
+        # the joint vocoder pass — nothing but the finished waveforms
+        # crosses the host boundary.
         ae_params = self._ae_params(use_ema)
-        # All utterances' chunks run as ONE forward (rows padded to 8) so
-        # the per-step LSTM gate matmuls fill the MXU; the merge slices each
-        # utterance back out on device.
-        import jax.numpy as jnp
-        counts = tuple(ch.shape[0] for ch in all_chunks)
-        rows = sum(counts)
-        pad_rows = -(-rows // 8) * 8 - rows
-        stacked = jnp.concatenate(all_chunks, axis=0)
-        if pad_rows:
-            stacked = jnp.pad(stacked, ((0, pad_rows), (0, 0), (0, 0)))
-        c_rows = np.concatenate(
-            [np.broadcast_to(c_org[None], (m, c_org.shape[-1]))
-             for c_org, m in zip(c_orgs, counts)] +
-            ([np.zeros((pad_rows, c_orgs[0].shape[-1]), np.float32)]
-             if pad_rows else []), axis=0)
-        post_mels = AEm.batch_forward_many(
-            ae_params, stacked, c_rows, c_target, counts, ae_cfg, overlap,
-            self.rnn_backend)
+        packed, starts, lengths = AEm.batch_forward_packed(
+            ae_params, all_chunks, c_orgs, c_target, ae_cfg, overlap,
+            self.ae_precision)
+        post_mels = [packed[:, s:s + L] for s, L in zip(starts, lengths)]
 
         wavs = WRm.generate_many(self.vocoder.params, post_mels,
                                  self.vocoder.config,

@@ -141,13 +141,13 @@ def main():
     fl, by = RL.ae_forward_cost(ae_cfg, M, N)
     ae_dt, _, _ = _timeit(
         lambda i: AE.batch_forward_jit(ae_params, chunks, c, c, ae_cfg, 0.5,
-                                       "xla"))
-    entries.append(RL.account("ae_convert(xla,f32)", fl, by, ae_dt, spec))
+                                       "f32"))
+    entries.append(RL.account("ae_convert(f32)", fl, by, ae_dt, spec))
     if on_tpu:
         ae_dt_p, _, _ = _timeit(
             lambda i: AE.batch_forward_jit(ae_params, chunks, c, c, ae_cfg,
-                                           0.5, "pallas"))
-        entries.append(RL.account("ae_convert(pallas,bf16)", fl, by, ae_dt_p,
+                                           0.5, "bf16"))
+        entries.append(RL.account("ae_convert(bf16)", fl, by, ae_dt_p,
                                   spec, compute_dtype="bf16"))
 
     # ---- component: WaveRNN conditioning + sampling kernel --------------
@@ -216,9 +216,9 @@ def main():
     # ---- cross-backend equivalence gate (VERDICT r1 #9) -----------------
     if on_tpu:
         post_x = np.asarray(AE.batch_forward_jit(ae_params, chunks, c, c,
-                                                 ae_cfg, 0.5, "xla"))
+                                                 ae_cfg, 0.5, "f32"))
         post_p = np.asarray(AE.batch_forward_jit(ae_params, chunks, c, c,
-                                                 ae_cfg, 0.5, "pallas"))
+                                                 ae_cfg, 0.5, "bf16"))
         ae_mse = float(np.mean((post_x - post_p) ** 2))
         kk = jax.random.PRNGKey(7)
         wav_p = WR.generate(wr_params, post[None], wr_cfg, key=kk,
@@ -228,12 +228,12 @@ def main():
         n = min(len(wav_p), len(wav_x))
         corr = float(np.corrcoef(wav_p[:n], wav_x[:n])[0, 1])
         details["equivalence"] = {
-            "ae_pallas_vs_xla_mel_mse": ae_mse,
+            "ae_bf16_vs_f32_mel_mse": ae_mse,
             "vocoder_pallas_vs_xla_corr": corr,
             "ae_ok": bool(ae_mse < 1e-3),
             "vocoder_ok": bool(corr > 0.95),
         }
-        print(f"# backend equivalence: AE mel MSE {ae_mse:.2e} | vocoder "
+        print(f"# precision/backend equivalence: AE mel MSE {ae_mse:.2e} | vocoder "
               f"corr {corr:.4f}", file=sys.stderr)
 
     # ---- end-to-end single stream ---------------------------------------

@@ -133,6 +133,34 @@ def test_batch_forward_many_matches_per_utterance(ae_pair):
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_batch_forward_packed_matches_per_utterance(ae_pair):
+    """The shape-stable slab + dynamic-offset packed merge must reproduce
+    per-utterance batch_forward exactly, including with inter-utterance
+    gap frames and slab padding."""
+    _, params = ae_pair
+    cfg = AutoEncoderConfig()
+    rng = np.random.default_rng(6)
+    counts = (3, 1, 2)
+    N = 64
+    sets = [rng.random((m, 80, N), dtype=np.float32) for m in counts]
+    cs = [rng.standard_normal((1, 256)).astype(np.float32) for _ in counts]
+    c_trg = rng.standard_normal((1, 256)).astype(np.float32)
+
+    for gap in (0, 2):
+        packed, starts, lengths = AE.batch_forward_packed(
+            params, sets, [c[0] for c in cs], c_trg, cfg, overlap=0.5,
+            precision="f32", slab_rows=8, gap=gap)
+        packed = np.asarray(packed)
+        for u, (chunks, c_org) in enumerate(zip(sets, cs)):
+            ref = np.asarray(AE.batch_forward(params, chunks, c_org, c_trg,
+                                              cfg, 0.5))
+            got = packed[:, starts[u]:starts[u] + lengths[u]]
+            assert ref.shape == got.shape
+            np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+            if gap:  # the gap zones stay silent
+                assert np.all(packed[:, starts[u] - gap:starts[u]] == 0)
+
+
 def test_speaker_encoder_forward_parity():
     m = MirrorSpeakerEncoder()
     m.eval()

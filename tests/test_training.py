@@ -349,3 +349,50 @@ def test_ae_resume_from_checkpoint(tmp_path):
         params, ds, cfg, n_epochs=1, batch_size=4, model_name="m.ckpt",
         save_dir=str(tmp_path), save_freq=1, resume=True, verbose=False)
     assert info["step"] == 3
+
+
+def test_bf16_step_tracks_f32_trajectory():
+    """Mixed-precision contract: N steps of the bf16 train step stay within
+    tolerance of the f32 trajectory (same data, same init).  The bf16 policy
+    casts matmul/conv OPERANDS only (ops/precision.py), so this exercises
+    the same rounding the MXU applies on TPU."""
+    import optax
+
+    cfg = SMALL_AE
+    ds = _ArrayDataset(n=8, T=64)
+    x, c = next(ds.batches(8))
+
+    trajectories = {}
+    for prec in ("f32", "bf16"):
+        params = AE.init(jax.random.PRNGKey(0), cfg)
+        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
+        step = train_loop.make_ae_step(cfg, tx, ema_decay=0.9999,
+                                       precision=prec)
+        opt_state, ema = tx.init(params), params
+        losses = []
+        for _ in range(6):
+            params, opt_state, ema, aux = step(params, opt_state, ema, x, c)
+            losses.append(float(aux["loss"]))
+        trajectories[prec] = np.asarray(losses)
+
+    f32, bf16 = trajectories["f32"], trajectories["bf16"]
+    assert np.isfinite(bf16).all()
+    # same direction, small relative gap at every step
+    np.testing.assert_allclose(bf16, f32, rtol=0.05)
+    # quantization actually happened (bf16 is not bit-identical to f32)
+    assert not np.array_equal(bf16, f32)
+
+
+def test_precision_mode_restored_after_error():
+    from autovc_tpu.ops import precision as PREC
+    assert PREC.mode() == "f32"
+    with pytest.raises(ValueError):
+        with PREC.compute("fp8"):
+            pass
+    try:
+        with PREC.compute("bf16"):
+            assert PREC.mode() == "bf16"
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert PREC.mode() == "f32"
