@@ -374,9 +374,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Slab-size ladder: the smallest ladder entry >= the workload's rows runs it
+# in ONE pass (the scan cost is sequential-step dominated, so bigger slabs
+# keep getting cheaper per row: 283/235/197 us/row at 32/64/256 rows, v5e);
+# larger workloads tile with the biggest slab.  Bounded set -> bounded
+# compile-cache variants.
+_SLAB_LADDER = (32, 64, 128, 256)
+
+
+def _pick_slab(rows: int) -> int:
+    for s in _SLAB_LADDER:
+        if rows <= s:
+            return s
+    return _SLAB_LADDER[-1]
+
+
 def batch_forward_packed(params: Params, chunk_sets, c_orgs, c_trg,
                          cfg: AutoEncoderConfig, overlap: float = 0.5,
-                         precision: str = "f32", slab_rows: int = 64,
+                         precision: str = "f32", slab_rows: int | None = None,
                          gap: int = 0, frame_bucket: int = 256):
     """Convert SEVERAL utterances' chunks through fixed-shape slab programs
     and merge them into ONE packed mel timeline on device.
@@ -402,11 +417,13 @@ def batch_forward_packed(params: Params, chunk_sets, c_orgs, c_trg,
     import numpy as np
 
     n_mels, N = chunk_sets[0].shape[1:]
+    counts = [int(ch.shape[0]) for ch in chunk_sets]
+    if slab_rows is None:
+        slab_rows = _pick_slab(sum(counts))
     if not (0 < slab_rows and slab_rows % 8 == 0):
         raise ValueError(f"slab_rows must be a positive multiple of 8, "
                          f"got {slab_rows}")
     step = int(N * (1 - overlap))
-    counts = [int(ch.shape[0]) for ch in chunk_sets]
     lengths = [N + (m - 1) * step for m in counts]
     starts, o = [], gap
     for L in lengths:

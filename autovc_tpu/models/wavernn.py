@@ -544,6 +544,57 @@ def _prepare_conditioning(params: Params, mel: jnp.ndarray,
     return cond, aux
 
 
+def _fold_rows(x: jnp.ndarray, target_f: int, overlap_f: int, margin: int):
+    """Frame-rate analogue of :func:`fold_with_overlap` with a symmetric
+    ``margin`` of extra frames per row (zero-filled out of sequence range).
+
+    (1, F, C) -> (num_folds, target_f + 2*overlap_f + 2*margin, C).  Fold
+    count and remainder padding are the exact frame-unit images of the
+    sample-rate fold (every sample-rate fold quantity is divisible by the
+    total scale), so row r's frames are precisely the frames whose
+    upsampled samples land in sample-rate fold row r."""
+    _, F, C = x.shape
+    num_folds = (F - overlap_f) // (target_f + overlap_f)
+    extended = num_folds * (overlap_f + target_f) + overlap_f
+    remaining = F - extended
+    if remaining != 0:
+        num_folds += 1
+        x = jnp.pad(x, ((0, 0), (0, target_f + 2 * overlap_f - remaining),
+                        (0, 0)))
+    x = jnp.pad(x, ((0, 0), (margin, margin), (0, 0)))
+    length = target_f + 2 * overlap_f + 2 * margin
+    starts = [i * (target_f + overlap_f) for i in range(num_folds)]
+    return jnp.stack([jax.lax.dynamic_slice(x[0], (s, 0), (length, C))
+                      for s in starts])
+
+
+def _prepare_frame_conditioning(params: Params, mel: jnp.ndarray,
+                                cfg: WaveRNNConfig, target: int,
+                                overlap: int, batched: bool):
+    """Frame-rate conditioning for the Pallas rows kernel.
+
+    Produces (mel_rows (B, fpf+2J, feat), aux_rows (B, fpf, res_out)) with
+    fpf = (target + 2*overlap) / total_scale: the kernel applies the banded
+    frame->sample upsampling in VMEM, so the sample-rate conditioning tensor
+    (275x larger — the r2 roofline's dominant HBM term,
+    `wavernn/model.py:67-92`'s output) is never materialised.  Requires
+    target % total_scale == overlap % total_scale == 0 (all public ladder
+    values are)."""
+    S = cfg.total_scale
+    _, J = _composite_upsample_kernel(params["upsample"]["up_convs"],
+                                      cfg.upsample_factors)
+    aux, _ = _mel_resnet(params["upsample"]["resnet"],
+                         pad_mel(mel, cfg.pad), cfg.pad)
+    aux = jnp.swapaxes(aux, 1, 2)                      # (1, F, res_out)
+    melT = jnp.swapaxes(mel, 1, 2)                     # (1, F, feat)
+    if not batched:
+        return jnp.pad(melT, ((0, 0), (J, J), (0, 0))), aux
+    assert target % S == 0 and overlap % S == 0, \
+        "pallas rows backend needs fold geometry divisible by total_scale"
+    return (_fold_rows(melT, target // S, overlap // S, J),
+            _fold_rows(aux, target // S, overlap // S, 0))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "target", "overlap", "batched",
                                     "mu_law", "fast_math", "unroll",
@@ -557,22 +608,30 @@ def _generate_program(params: Params, mel: jnp.ndarray, key,
     conversion instead of ~7 (each dispatch costs a host round-trip on
     tunneled devices)."""
     wave_len = (mel.shape[-1] - 1) * cfg.hop_length
-    cond, aux = _prepare_conditioning(params, mel, cfg, target, overlap,
-                                      batched)
-    # Bucket the fold count to a multiple of 8: bounds the number of jit
-    # variants of the sampling program (compile cost) and keeps the MXU
-    # operand rows aligned; padded rows are discarded before the unfold.
-    n_folds = cond.shape[0]
-    bucket = -(-n_folds // 8) * 8
-    if bucket != n_folds:
-        pad_rows = ((0, bucket - n_folds), (0, 0), (0, 0))
-        cond = jnp.pad(cond, pad_rows)
-        aux = jnp.pad(aux, pad_rows)
     if backend == "pallas":
+        mel_rows, aux_rows = _prepare_frame_conditioning(
+            params, mel, cfg, target, overlap, batched)
+        # Bucket rows to a multiple of 8 with zero rows (bounds jit
+        # variants, aligns the MXU operand); dropped after sampling.
+        n_folds = mel_rows.shape[0]
+        bucket = -(-n_folds // 8) * 8
+        if bucket != n_folds:
+            pad_rows = ((0, bucket - n_folds), (0, 0), (0, 0))
+            mel_rows = jnp.pad(mel_rows, pad_rows)
+            aux_rows = jnp.pad(aux_rows, pad_rows)
         from autovc_tpu.ops import wavernn_pallas
-        samples = wavernn_pallas.generate_scan_pallas(
-            params, cond, aux, key, cfg, fast_math, interpret=interpret)
+        samples = wavernn_pallas.generate_rows_pallas(
+            params, mel_rows, aux_rows, key, cfg, fast_math,
+            interpret=interpret)
     else:
+        cond, aux = _prepare_conditioning(params, mel, cfg, target, overlap,
+                                          batched)
+        n_folds = cond.shape[0]
+        bucket = -(-n_folds // 8) * 8
+        if bucket != n_folds:
+            pad_rows = ((0, bucket - n_folds), (0, 0), (0, 0))
+            cond = jnp.pad(cond, pad_rows)
+            aux = jnp.pad(aux, pad_rows)
         samples = _generate_scan(params, cond, aux, key, cfg, fast_math,
                                  unroll)
     samples = samples[:n_folds]
@@ -613,6 +672,9 @@ def generate(params: Params, mel: np.ndarray,
                                   overlap)
     elif target is None:
         target = g.target
+    if backend == "pallas" and batched and (
+            target % cfg.total_scale or overlap % cfg.total_scale):
+        backend = "xla"  # rows kernel needs frame-aligned fold geometry
     output = _generate_program(params, mel, key, cfg, target, overlap,
                                batched, mu_law, fast_math, unroll, backend,
                                interpret)
@@ -629,11 +691,12 @@ def _generate_many_program(params: Params, mels: tuple, key,
                            slab_rows: int | None = None):
     """Whole-serve-pass program: per-utterance conditioning, the union
     slab sampling loop, per-utterance unfold/trim/fade, one int16 stack."""
+    prep = (_prepare_frame_conditioning if backend == "pallas"
+            else _prepare_conditioning)
     conds, auxs, counts, wave_lens = [], [], [], []
     for mel in mels:
         wave_lens.append((mel.shape[-1] - 1) * cfg.hop_length)
-        cond, aux = _prepare_conditioning(params, mel, cfg, target, overlap,
-                                          True)
+        cond, aux = prep(params, mel, cfg, target, overlap, True)
         conds.append(cond)
         auxs.append(aux)
         counts.append(cond.shape[0])
@@ -648,7 +711,11 @@ def _generate_many_program(params: Params, mels: tuple, key,
     # wasting at most 31 padded rows, not 127) — giving ONE compiled
     # program for any workload size; small workloads use an 8-multiple
     # bucket so tests and single calls don't pad up.
-    SLAB = min(slab_rows or 32, -(-total_folds // 8) * 8)
+    slab_rows = 32 if slab_rows is None else slab_rows
+    if not (slab_rows > 0 and slab_rows % 8 == 0):
+        raise ValueError(f"slab_rows must be a positive multiple of 8, "
+                         f"got {slab_rows}")
+    SLAB = min(slab_rows, -(-total_folds // 8) * 8)
     n_slabs = max(1, -(-total_folds // SLAB))
     padded = n_slabs * SLAB
     if padded != total_folds:
@@ -663,7 +730,7 @@ def _generate_many_program(params: Params, mels: tuple, key,
         a = jax.lax.dynamic_slice_in_dim(aux, s * SLAB, SLAB, 0)
         if backend == "pallas":
             from autovc_tpu.ops import wavernn_pallas
-            out = wavernn_pallas.generate_scan_pallas(params, c, a, sk, cfg,
+            out = wavernn_pallas.generate_rows_pallas(params, c, a, sk, cfg,
                                                       fast_math)
         else:
             out = _generate_scan(params, c, a, sk, cfg, fast_math, unroll)
@@ -719,6 +786,9 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
         target = auto_fold_target(sum(wave_lens), overlap)
     elif target is None:
         target = g.target
+    if backend == "pallas" and (target % cfg.total_scale
+                                or overlap % cfg.total_scale):
+        backend = "xla"  # rows kernel needs frame-aligned fold geometry
     flat = _generate_many_program(
         params, mels, key, cfg, target, overlap, fast_math, unroll, backend,
         slab_rows)

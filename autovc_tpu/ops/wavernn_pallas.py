@@ -1,31 +1,36 @@
 """Pallas TPU kernel for the WaveRNN autoregressive sampling loop.
 
 Why a kernel: the XLA ``lax.scan`` version re-reads every recurrent weight
-matrix from HBM on each of the ~3-12k sequential steps and pays per-step
-fusion/dispatch overhead.  Here the whole loop is ONE kernel invocation:
+matrix from HBM on each of the ~12k sequential steps and pays per-step
+fusion/dispatch overhead.  Here the whole loop is ONE kernel invocation with
+all weights (two GRUs + three fc layers, ~8 MB bf16) **resident in VMEM**.
 
-  * all weights (two GRUs + three fc layers + the per-step input
-    projections, ~8 MB bf16) are **resident in VMEM** for the entire
-    generation — zero per-step weight traffic;
-  * the per-step conditioning (raw mel + aux splits + sampling noise,
-    packed into one lane-aligned (T, B, D) array) streams from HBM with a
-    **double-buffered async DMA** that overlaps the next step's load with
-    the current step's compute.  Streaming the RAW conditioning and doing
-    the small input projections in-kernel (one 128-row matmul per segment,
-    weights in VMEM) keeps the streamed block at 5x128 = 640 lanes instead
-    of the 3200 lanes a pre-projected layout needs — 5x less HBM stream
-    traffic and a prologue that only transposes/concats instead of writing
-    multi-GB projection blocks (measured ~35% of sampling wall time at
-    3200 lanes);
-  * the MOL/RAW sampling (Gumbel-max pick + logistic inverse-CDF) runs on
-    the VPU with lane-mask arithmetic; samples accumulate in VMEM and are
-    written out once.
+Conditioning is consumed at FRAME rate, not sample rate.  The reference
+upsamples the mel 275x to sample rate and the r2 kernel streamed that
+expanded tensor from HBM (38% of HBM roofline spent materialising+re-reading
+pure redundancy: within one hop the aux is CONSTANT and the mel contribution
+is a fixed banded combination of 5 neighbouring frames).  This version:
 
-The packed layout (5 segments of 128 lanes, compute dtype):
-  [ mel|a1|0 ] [ a2|0 ] [ a3|0 ] [ a4|0 ] [ gumbel|logistic|0 ]
+  * hoists all input projections to frame rate in XLA (one small MXU matmul
+    over every fold row's frames), packs them into a per-frame block that
+    fits wholly in VMEM (~7 MB for a 32-row slab) — zero per-step
+    conditioning DMA;
+  * applies the banded frame->sample upsampling INSIDE the kernel as five
+    vector FMAs per step against a precomputed (275, 5*rd) per-phase weight
+    table (the composite impulse response of the reference's UpsampleNetwork,
+    wavernn/model.py:67-92 — see models.wavernn._composite_upsample_kernel);
+  * streams only the sampling noise from HBM, one (275, B, 128) block per
+    frame with a double-buffered async DMA (one DMA per 275 steps instead of
+    one per step);
+  * runs MOL/RAW sampling (Gumbel-max pick + logistic inverse-CDF) on the
+    VPU with lane-mask arithmetic; per-step output rows accumulate in VMEM.
 
 Numerics match :func:`autovc_tpu.models.wavernn._generate_scan` given the
-same pregenerated noise (verified in tests/test_wavernn_pallas.py).
+same pregenerated noise (verified in tests/test_wavernn_pallas.py).  With
+``fast_math`` the recurrent matmuls run in bf16 (f32 accumulation); the
+frame-rate projections and the banded contraction stay f32, so bf16 output
+streams drift slightly from the r2 kernel (which rounded the raw
+conditioning to bf16 before projecting) for the same seed.
 """
 from __future__ import annotations
 
@@ -44,182 +49,199 @@ Params = Dict[str, Any]
 
 LOG_SCALE_MIN = float(np.log(1e-14))
 
+_PROJ_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(step_in_hbm,        # (T, Bp, D) compute-dtype, HBM
-            w_x_ref,            # (1, rd)
-            w_c0_ref,           # (s0, rd)   [mel|a1] -> I
-            w_c1_ref,           # (sa, 3rd)  a2 -> GRU2 input proj
-            w_c2_ref, w_c3_ref,  # (sa, fc)  a3 -> fc1, a4 -> fc2
-            w_ih1_ref, w_hh1_ref,   # (rd, 3rd)
-            w_ih2x_ref, w_hh2_ref,  # (rd, 3rd)
-            w_fc1_ref, w_fc2_ref,   # (rd, fc)
-            w_fc3_ref,              # (fc, 128)
-            bI_ref,                     # (1, rd) f32
-            b1_ref, bh1_ref,            # (1, 3rd) f32
-            bih2_ref, bh2_ref,          # (1, 3rd) f32
-            bf1_ref, bf2_ref,           # (1, fc) f32
+def _kernel(noise_hbm,          # (fpf, S, Bp, 128) cdt, HBM
+            mf_ref,             # (Fq, Bp, rd) f32: projected mel frames
+            fblk_ref,           # (fpf, Bp, rd+3rd+2fc) cdt: frame features
+            krep_ref,           # (S, W*rd) f32: per-phase banded weights
+            w_x_ref,                # (1, rd) f32
+            w_ih1_ref, w_hh1_ref,   # (rd, 3rd) cdt
+            w_ih2x_ref, w_hh2_ref,  # (rd, 3rd) cdt
+            w_fc1_ref, w_fc2_ref,   # (rd, fc) / (fc, fc) cdt
+            w_fc3_ref,              # (fc, 128) cdt
+            b1_ref, bh1_ref, bh2_ref,   # (1, 3rd) f32
             b3_ref,                     # (1, 128) f32
-            out_ref,            # (T, Bp) f32 VMEM
-            buf, sem,           # scratch: (2, Bp, D), DMA sems (2,)
-            *, T, Bp, rd, fc, s0, sa, n_classes, nr_mix, raw_mode, cdt):
-    def dma(slot, t):
-        return pltpu.make_async_copy(step_in_hbm.at[t], buf.at[slot],
-                                     sem.at[slot])
+            out_ref,            # (fpf*S, Bp) f32 VMEM
+            nbuf, nsem,         # scratch: (2, S, Bp, 128) cdt + DMA sems
+            *, fpf, S, Bp, rd, fc, W, n_classes, nr_mix, raw_mode, cdt):
+    def ndma(slot, q):
+        return pltpu.make_async_copy(noise_hbm.at[q], nbuf.at[slot],
+                                     nsem.at[slot])
 
-    dma(0, 0).start()
-
+    ndma(0, 0).start()
     lane = jax.lax.broadcasted_iota(jnp.int32, (Bp, 128), 1)
+    pick_dim = n_classes if raw_mode else nr_mix
 
-    def body(t, carry):
-        x, h1, h2 = carry          # (Bp,1) f32, (Bp,rd) f32 x2
-        slot = jax.lax.rem(t, 2)
-        nxt = jax.lax.rem(t + 1, 2)
+    def dot(a, b):
+        return jnp.dot(a.astype(cdt), b, preferred_element_type=jnp.float32)
 
-        @pl.when(t + 1 < T)
+    def gru(h, xp, w_hh, b_hh):
+        hp = dot(h, w_hh[...]) + b_hh[0][None, :]
+        xr, xz, xn = jnp.split(xp, 3, axis=-1)
+        hr, hz, hn = jnp.split(hp, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        return (1.0 - z) * n + z * h
+
+    def frame(q, carry):
+        slot = jax.lax.rem(q, 2)
+        nxt = jax.lax.rem(q + 1, 2)
+
+        @pl.when(q + 1 < fpf)
         def _():
-            dma(nxt, t + 1).start()
+            ndma(nxt, q + 1).start()
 
-        dma(slot, t).wait()
-        blk = buf[slot]            # (Bp, D) cdt
+        ndma(slot, q).wait()
 
-        def dot(a, b_ref_val):
-            return jnp.dot(a.astype(cdt), b_ref_val,
-                           preferred_element_type=jnp.float32)
+        # frame-invariant features (read once per 275 steps)
+        fb = fblk_ref[q]                               # (Bp, D) cdt
+        base = fb[:, :rd].astype(jnp.float32)
+        pre_r2 = fb[:, rd:4 * rd].astype(jnp.float32)
+        pre_f1 = fb[:, 4 * rd:4 * rd + fc].astype(jnp.float32)
+        pre_f2 = fb[:, 4 * rd + fc:4 * rd + 2 * fc].astype(jnp.float32)
+        mfw = [mf_ref[q + w] for w in range(W)]        # W x (Bp, rd) f32
 
-        # in-kernel input projections from the raw conditioning segments
-        o1, o2, o3 = s0, s0 + sa, s0 + 2 * sa
-        pre_I = dot(blk[:, :s0], w_c0_ref[...]) + bI_ref[0][None, :]
-        pre_r2 = (dot(blk[:, o1:o1 + sa], w_c1_ref[...])
-                  + bih2_ref[0][None, :])
-        pre_f1 = (dot(blk[:, o2:o2 + sa], w_c2_ref[...])
-                  + bf1_ref[0][None, :])
-        pre_f2 = (dot(blk[:, o3:o3 + sa], w_c3_ref[...])
-                  + bf2_ref[0][None, :])
-        noise = blk[:, o3 + sa:o3 + sa + 128].astype(jnp.float32)
+        def step(p, carry):
+            x, h1, h2 = carry
+            krow = krep_ref[pl.ds(p, 1), :]            # (1, W*rd) f32
+            # banded frame->sample upsampling: the only per-sample
+            # conditioning work — W vector FMAs on the VPU
+            pre_I = base
+            for w in range(W):
+                pre_I = pre_I + mfw[w] * krow[0, w * rd:(w + 1) * rd][None]
 
-        def gru(h, xp, w_hh, b_hh):
-            hp = dot(h, w_hh) + b_hh
-            xr, xz, xn = jnp.split(xp, 3, axis=-1)
-            hr, hz, hn = jnp.split(hp, 3, axis=-1)
-            r = jax.nn.sigmoid(xr + hr)
-            z = jax.nn.sigmoid(xz + hz)
-            n = jnp.tanh(xn + r * hn)
-            return (1.0 - z) * n + z * h
+            xI = x * w_x_ref[0][None, :] + pre_I               # (Bp, rd) f32
+            h1 = gru(h1, dot(xI, w_ih1_ref[...]) + b1_ref[0][None, :],
+                     w_hh1_ref, bh1_ref)
+            x1 = xI + h1
+            h2 = gru(h2, dot(x1, w_ih2x_ref[...]) + pre_r2,
+                     w_hh2_ref, bh2_ref)
+            x2 = x1 + h2
+            x3 = jnp.maximum(dot(x2, w_fc1_ref[...]) + pre_f1, 0.0)
+            x4 = jnp.maximum(dot(x3, w_fc2_ref[...]) + pre_f2, 0.0)
+            logits = dot(x4, w_fc3_ref[...]) + b3_ref[0][None, :]
 
-        xI = x * w_x_ref[0][None, :] + pre_I
-        h1 = gru(h1, dot(xI, w_ih1_ref[...]) + b1_ref[0][None, :],
-                 w_hh1_ref[...], bh1_ref[0][None, :])
-        x1 = xI + h1
-        h2 = gru(h2, dot(x1, w_ih2x_ref[...]) + pre_r2,
-                 w_hh2_ref[...], bh2_ref[0][None, :])
-        x2 = x1 + h2
-        x3 = jnp.maximum(dot(x2, w_fc1_ref[...]) + pre_f1, 0.0)
-        x4 = jnp.maximum(dot(x3, w_fc2_ref[...]) + pre_f2, 0.0)
-        logits = dot(x4, w_fc3_ref[...]) + b3_ref[0][None, :]  # (Bp, 128)
+            noise = nbuf[slot, p].astype(jnp.float32)          # (Bp, 128)
+            neg_inf = jnp.float32(-1e30)
+            scored = jnp.where(lane < pick_dim, logits + noise, neg_inf)
+            pick = jnp.argmax(scored, axis=-1).astype(jnp.int32)
 
-        pick_dim = n_classes if raw_mode else nr_mix
-        gumbel = noise  # first pick_dim lanes are the Gumbel noise
-        neg_inf = jnp.float32(-1e30)
-        scored = jnp.where(lane < pick_dim, logits + gumbel, neg_inf)
-        pick = jnp.argmax(scored, axis=-1).astype(jnp.int32)   # (Bp,)
+            if raw_mode:
+                sample = (2.0 * pick.astype(jnp.float32)
+                          / (n_classes - 1.0) - 1.0)
+            else:
+                pick_b = pick[:, None]
+                means = jnp.sum(
+                    jnp.where(lane == pick_b + nr_mix, logits, 0.0), axis=-1)
+                log_scales = jnp.maximum(
+                    jnp.sum(jnp.where(lane == pick_b + 2 * nr_mix, logits,
+                                      0.0), axis=-1), LOG_SCALE_MIN)
+                logistic = jnp.sum(
+                    jnp.where(lane == pick_dim, noise, 0.0), axis=-1)
+                sample = jnp.clip(means + jnp.exp(log_scales) * logistic,
+                                  -1.0, 1.0)
 
-        if raw_mode:
-            sample = (2.0 * pick.astype(jnp.float32)
-                      / (n_classes - 1.0) - 1.0)
-        else:
-            pick_b = pick[:, None]
-            means = jnp.sum(
-                jnp.where(lane == pick_b + nr_mix, logits, 0.0), axis=-1)
-            log_scales = jnp.maximum(
-                jnp.sum(jnp.where(lane == pick_b + 2 * nr_mix, logits, 0.0),
-                        axis=-1), LOG_SCALE_MIN)
-            # logistic noise rides in lane pick_dim of the noise block
-            logistic = jnp.sum(
-                jnp.where(lane == pick_dim, noise, 0.0), axis=-1)
-            sample = jnp.clip(means + jnp.exp(log_scales) * logistic,
-                              -1.0, 1.0)
+            out_ref[pl.ds(q * S + p, 1), :] = sample[None, :]
+            return (sample[:, None], h1, h2)
 
-        out_ref[pl.ds(t, 1), :] = sample[None, :]
-        return (sample[:, None], h1, h2)
+        return jax.lax.fori_loop(0, S, step, carry)
 
     init = (jnp.zeros((Bp, 1), jnp.float32),
             jnp.zeros((Bp, rd), jnp.float32),
             jnp.zeros((Bp, rd), jnp.float32))
-    jax.lax.fori_loop(0, T, body, init)
+    jax.lax.fori_loop(0, fpf, frame, init)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "fast_math", "interpret"))
-def generate_scan_pallas(params: Params, mels: jnp.ndarray,
-                         aux: jnp.ndarray, key, cfg: WaveRNNConfig,
+def generate_rows_pallas(params: Params, mel_rows: jnp.ndarray,
+                         aux_rows: jnp.ndarray, key, cfg: WaveRNNConfig,
                          fast_math: bool = True,
                          interpret: bool = False) -> jnp.ndarray:
-    """Drop-in replacement for ``wavernn._generate_scan``: (B, T) samples.
+    """Sample (B, fpf*total_scale) waveform rows from frame-rate
+    conditioning.
 
-    Host-side (traced) prologue packs the RAW conditioning + noise into the
-    lane-aligned (T, Bp, D) streaming block; the input projections and the
-    sequential loop both run in the kernel (weights VMEM-resident).
+    Args:
+      mel_rows: (B, fpf + 2J, feat_dims) raw mel frames per fold row,
+        including J margin frames each side for the banded upsampler
+        (J = the composite kernel's one-sided frame reach; out-of-range
+        margins must be zero-filled by the caller).
+      aux_rows: (B, fpf, res_out_dims) MelResNet features per fold row.
     """
-    B, T, feat = mels.shape
+    B, Fq, feat = mel_rows.shape
     rd, fc, d = cfg.rnn_dims, cfg.fc_dims, cfg.aux_dims
+    S = cfg.total_scale
     n_classes = cfg.n_classes
     raw_mode = cfg.mode == "RAW"
     nr_mix = n_classes // 3
+    pick_dim = n_classes if raw_mode else nr_mix
     cdt = jnp.bfloat16 if fast_math else jnp.float32
+    if not interpret:
+        assert rd % 128 == 0 and fc % 128 == 0, \
+            "hardware kernel needs rd/fc multiples of 128 (use the XLA " \
+            "scan for other geometries)"
+    assert pick_dim < 128, "sampling kernel packs noise into 128 lanes"
 
-    a1, a2, a3, a4 = (aux[..., i * d:(i + 1) * d] for i in range(4))
+    from autovc_tpu.models.wavernn import _composite_upsample_kernel
+    K, J = _composite_upsample_kernel(params["upsample"]["up_convs"],
+                                      cfg.upsample_factors)
+    W = 2 * J + 1
+    fpf = Fq - 2 * J
+    T = fpf * S
+    aux_rows = aux_rows[:, :fpf]
+    a1, a2, a3, a4 = (aux_rows[..., i * d:(i + 1) * d] for i in range(4))
 
+    Bp = max(8, _round_up(B, 8))
+
+    def padB(x):   # (B, F, D) -> (F, Bp, D)
+        x = jnp.swapaxes(x, 0, 1)
+        return jnp.pad(x, ((0, 0), (0, Bp - B), (0, 0)))
+
+    # ---- frame-rate projections (tiny f32 MXU matmuls, exact) -----------
     wI = params["I"]["w"]                      # (rd, 1 + feat + aux)
     w_x = wI[:, 0]
+    w_mel = wI[:, 1:1 + feat]                  # (rd, feat)
+    w_a1 = wI[:, 1 + feat:]                    # (rd, aux)
     w_ih2 = params["rnn2"]["w_ih"]             # (rd + aux, 3rd)
     w_fc1 = params["fc1"]["w"]                 # (fc, rd + aux)
-    w_fc2 = params["fc2"]["w"]
+    w_fc2 = params["fc2"]["w"]                 # (fc, fc + aux)
 
-    # sampling noise (identical draw order to _generate_scan)
+    def proj(x, w):
+        return jnp.matmul(x, w, precision=_PROJ_PRECISION)
+
+    mf = padB(proj(mel_rows, w_mel.T))                         # (Fq, Bp, rd)
+    base = padB(proj(a1, w_a1.T) + params["I"]["b"])
+    pre_r2 = padB(proj(a2, w_ih2[rd:]) + params["rnn2"]["b_ih"])
+    pre_f1 = padB(proj(a3, w_fc1[:, rd:].T) + params["fc1"]["b"])
+    pre_f2 = padB(proj(a4, w_fc2[:, fc:].T) + params["fc2"]["b"])
+    fblk = jnp.concatenate([base, pre_r2, pre_f1, pre_f2],
+                           axis=-1).astype(cdt)      # (fpf, Bp, rd*4+2fc)
+
+    # per-phase banded weights: krep[p, w*rd + d] = K[2J - w, p]
+    krep = jnp.broadcast_to(K[::-1].T[:, :, None],
+                            (S, W, rd)).reshape(S, W * rd)
+
+    # ---- sampling noise (identical draw order to _generate_scan) --------
     k1, k2 = jax.random.split(key)
-    pick_dim = n_classes if raw_mode else nr_mix
     u1 = jax.random.uniform(k1, (T, B, pick_dim), minval=1e-5,
                             maxval=1.0 - 1e-5)
     gumbel = -jnp.log(-jnp.log(u1))
     u2 = jax.random.uniform(k2, (T, B), minval=1e-5, maxval=1.0 - 1e-5)
     logistic = jnp.log(u2) - jnp.log(1.0 - u2)
-
-    # ---- pack the streaming block (T, Bp, D) ----------------------------
-    # lane-aligned segments: [mel|a1|0](s0) [a2|0](sa) [a3|0] [a4|0]
-    # [noise](128) — raw conditioning, NOT pre-projected: 5x fewer lanes.
-    Bp = max(8, _round_up(B, 8))
-    s0 = _round_up(feat + d, 128)
-    sa = _round_up(d, 128)
     noise = jnp.zeros((T, B, 128), jnp.float32)
     noise = noise.at[..., :pick_dim].set(gumbel)
     noise = noise.at[..., pick_dim].set(logistic)
+    noise = jnp.pad(noise, ((0, 0), (0, Bp - B), (0, 0))).astype(cdt)
+    noise = noise.reshape(fpf, S, Bp, 128)
 
-    def z(n):
-        return jnp.zeros((T, B, n), jnp.float32)
-
-    parts = [jnp.swapaxes(mels, 0, 1), jnp.swapaxes(a1, 0, 1),
-             z(s0 - feat - d)]
-    for a in (a2, a3, a4):
-        parts += [jnp.swapaxes(a, 0, 1), z(sa - d)]
-    parts.append(noise)
-    step_in = jnp.concatenate(parts, axis=-1)              # (T, B, D)
-    D = step_in.shape[-1]
-    assert D == s0 + 3 * sa + 128
-    step_in = jnp.pad(step_in, ((0, 0), (0, Bp - B), (0, 0))).astype(cdt)
-
-    # ---- weights (VMEM-resident) ----------------------------------------
-    def pad_rows(w, rows):
-        return jnp.zeros((rows, w.shape[1]), cdt).at[:w.shape[0]].set(
-            w.astype(cdt))
-
-    w_c0 = pad_rows(wI[:, 1:].T, s0)               # [mel|a1] -> I
-    w_c1 = pad_rows(w_ih2[rd:], sa)                # a2 -> GRU2 in-proj
-    w_c2 = pad_rows(w_fc1[:, rd:].T, sa)           # a3 -> fc1
-    w_c3 = pad_rows(w_fc2[:, fc:].T, sa)           # a4 -> fc2
+    # ---- VMEM-resident weights -------------------------------------------
     w_ih1 = params["rnn1"]["w_ih"].astype(cdt)
     w_hh1 = params["rnn1"]["w_hh"].astype(cdt)
     w_ih2x = w_ih2[:rd].astype(cdt)
@@ -230,32 +252,28 @@ def generate_scan_pallas(params: Params, mels: jnp.ndarray,
         params["fc3"]["w"].T.astype(cdt))
     b3 = jnp.full((1, 128), -1e30, jnp.float32).at[0, :n_classes].set(
         params["fc3"]["b"])
-    bI = params["I"]["b"][None, :].astype(jnp.float32)
-    b1 = (params["rnn1"]["b_ih"])[None, :].astype(jnp.float32)
-    bh1 = (params["rnn1"]["b_hh"])[None, :].astype(jnp.float32)
-    bih2 = (params["rnn2"]["b_ih"])[None, :].astype(jnp.float32)
-    bh2 = (params["rnn2"]["b_hh"])[None, :].astype(jnp.float32)
-    bf1 = (params["fc1"]["b"])[None, :].astype(jnp.float32)
-    bf2 = (params["fc2"]["b"])[None, :].astype(jnp.float32)
+    b1 = params["rnn1"]["b_ih"][None, :].astype(jnp.float32)
+    bh1 = params["rnn1"]["b_hh"][None, :].astype(jnp.float32)
+    bh2 = params["rnn2"]["b_hh"][None, :].astype(jnp.float32)
     w_x2 = w_x[None, :].astype(jnp.float32)
 
-    kern = functools.partial(_kernel, T=T, Bp=Bp, rd=rd, fc=fc, s0=s0,
-                             sa=sa, n_classes=n_classes, nr_mix=nr_mix,
+    kern = functools.partial(_kernel, fpf=fpf, S=S, Bp=Bp, rd=rd, fc=fc,
+                             W=W, n_classes=n_classes, nr_mix=nr_mix,
                              raw_mode=raw_mode, cdt=cdt)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((T, Bp), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [vmem] * 20,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [vmem] * 15,
         out_specs=vmem,
         scratch_shapes=[
-            pltpu.VMEM((2, Bp, D), cdt),
+            pltpu.VMEM((2, S, Bp, 128), cdt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(step_in, w_x2, w_c0, w_c1, w_c2, w_c3,
+    )(noise, mf, fblk, krep, w_x2,
       w_ih1, w_hh1, w_ih2x, w_hh2, w_fc1x, w_fc2x, w_fc3,
-      bI, b1, bh1, bih2, bh2, bf1, bf2, b3)
+      b1, bh1, bh2, b3)
     return jnp.swapaxes(out, 0, 1)[:B]                     # (B, T)

@@ -144,34 +144,33 @@ def ae_train_cost(cfg, batch: int, t: int):
     return total, fwd_bytes * 3
 
 
-def _stream_lanes(cfg) -> int:
-    """Lane width of the Pallas kernel's streamed block: raw conditioning
-    in 128-aligned segments [mel|a1] [a2] [a3] [a4] [noise]."""
-    d = cfg.aux_dims
-
-    def up(x):
-        return ((x + 127) // 128) * 128
-
-    return up(cfg.feat_dims + d) + 3 * up(d) + 128
+def _band_reach(cfg) -> int:
+    """One-sided frame reach J of the composite upsample kernel
+    (models/wavernn._composite_upsample_kernel)."""
+    S = 1
+    for s in cfg.upsample_factors:
+        S *= s
+    reach, rem = 0, S
+    for s in cfg.upsample_factors:
+        rem //= s
+        reach += s * rem                 # (2s+1 kernel) -> half-width s
+    return -(-reach // S)
 
 
 def wavernn_step_cost(cfg, batch: int):
-    """ONE sampling step of the Pallas WaveRNN kernel (per-batch-row cost).
+    """ONE sampling step of the Pallas WaveRNN rows kernel (per-batch-row
+    cost).
 
     FLOPs: 4 gate matmuls (rd x 3rd) + fc1 + fc2 + fc3(->128 lanes) + the
-    4 in-kernel input projections from the 128-aligned raw segments.
-    HBM bytes: only the streamed raw-conditioning block (weights are
-    VMEM-resident), bf16.
+    in-kernel banded frame->sample upsample (W vector FMAs on rd lanes).
+    HBM bytes: only the streamed noise block (weights AND conditioning are
+    VMEM-resident at frame rate), compute dtype.
     """
-    rd, fc, d = cfg.rnn_dims, cfg.fc_dims, cfg.aux_dims
-
-    def up(x):
-        return ((x + 127) // 128) * 128
-
+    rd, fc = cfg.rnn_dims, cfg.fc_dims
+    W = 2 * _band_reach(cfg) + 1
     flops = 2 * batch * (4 * rd * 3 * rd + rd * fc + fc * fc + fc * 128)
-    flops += 2 * batch * (up(cfg.feat_dims + d) * rd + up(d) * 3 * rd
-                          + 2 * up(d) * fc)
-    bytes_ = batch * _stream_lanes(cfg) * 2           # bf16 stream
+    flops += 2 * batch * W * rd
+    bytes_ = batch * 128 * 2                          # bf16 noise stream
     return flops, bytes_
 
 
@@ -186,37 +185,41 @@ def wavernn_xla_step_cost(cfg, batch: int):
 
 
 def wavernn_conditioning_cost(cfg, batch: int, t: int):
-    """Upsample network + fold, per generated sample
-    (models/wavernn._prepare_conditioning: pad + upsample + fold).  The
-    hoisted input projections happen inside the sampling call's prologue —
-    see :func:`wavernn_prologue_cost`."""
+    """Frame-rate conditioning for the rows kernel
+    (models/wavernn._prepare_frame_conditioning: MelResNet + frame fold).
+    Nothing is materialised at sample rate — the banded upsample and the
+    input projections run in the sampling program (see
+    :func:`wavernn_prologue_cost`)."""
     feat, comp, ro = cfg.feat_dims, cfg.compute_dims, cfg.res_out_dims
     frames = t // cfg.total_scale
     flops = conv1d_flops(batch, frames, feat, comp, 2 * cfg.pad + 1)
     flops += cfg.res_blocks * 2 * conv1d_flops(batch, frames, comp, comp, 1)
     flops += conv1d_flops(batch, frames, comp, ro, 1)
-    # banded upsample kernel ~ one k-tap filter per sample
-    flops += 2 * batch * t * feat * (2 * cfg.upsample_factors[-1] + 1)
-    # bytes: (cond + aux) written at sample rate, then re-read + re-written
-    # by the overlap fold
+    # bytes: mel read + aux frames written, then re-read/re-written by the
+    # frame-rate overlap fold (resnet intermediates stay fused)
     g = cfg.generate
     dup = (g.target + 2 * g.overlap) / g.target
-    bytes_ = 4 * batch * t * (feat + ro) * (1 + 2 * dup)
+    bytes_ = 4 * batch * frames * (feat + ro) * (1 + 2 * dup)
     return flops, bytes_
 
 
 def wavernn_prologue_cost(cfg, folds: int, t_steps: int):
-    """Streaming-block pack inside generate_scan_pallas: transpose/concat
-    of the raw conditioning + noise generation (the input projections now
-    run IN-kernel against VMEM weights, so the prologue does no matmuls)."""
-    d = cfg.aux_dims
+    """Per-sampling-call prologue of generate_rows_pallas: frame-rate input
+    projections (small MXU matmuls) + noise generation/packing.  The noise
+    stream is the only sample-rate tensor the program ever writes."""
+    rd, fc, d = cfg.rnn_dims, cfg.fc_dims, cfg.aux_dims
     feat = cfg.feat_dims
+    frames = t_steps // cfg.total_scale
+    Fq = frames + 2 * _band_reach(cfg)
+    flops = 2 * folds * (Fq * feat * rd
+                         + frames * d * (rd + 3 * rd + 2 * fc))
     # noise: threefry + 2 transcendentals per draw, ~32 flops/draw
     pick = cfg.n_classes if cfg.mode == "RAW" else cfg.n_classes // 3
-    flops = 32 * folds * t_steps * (pick + 1)
-    # read cond+aux f32, write the packed lane-aligned block (cdt=bf16)
-    bytes_ = folds * t_steps * (4 * (feat + 4 * d)
-                                + 2 * _stream_lanes(cfg))
+    flops += 32 * folds * t_steps * (pick + 1)
+    # noise: f32 intermediates (u, gumbel/logistic) + packed cdt write;
+    # frame blocks: mf f32 + fblk cdt
+    bytes_ = folds * t_steps * ((pick + 1) * 4 * 2 + 128 * 2)
+    bytes_ += folds * (Fq * rd * 4 + frames * (4 * rd + 2 * fc) * 2)
     return flops, bytes_
 
 

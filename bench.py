@@ -155,27 +155,41 @@ def main():
     g = wr_cfg.generate
     t_total = int(post.shape[-1] - 1) * wr_cfg.hop_length
     tgt = WR.auto_fold_target(t_total, g.overlap)
-    cond, aux = WR._prepare_conditioning(wr_params, jnp_asarray(post[None]),
-                                         wr_cfg, tgt, g.overlap, True)
+    T_steps = tgt + 2 * g.overlap
+    backend = "pallas" if on_tpu else "xla"
+
+    if backend == "pallas":
+        prep_frames = jax.jit(
+            WR._prepare_frame_conditioning,
+            static_argnames=("cfg", "target", "overlap", "batched"))
+        cond_fn = lambda i: prep_frames(wr_params, jnp_asarray(post[None]),
+                                        wr_cfg, tgt, g.overlap, True)
+    else:
+        cond_fn = lambda i: WR._prepare_conditioning(
+            wr_params, jnp_asarray(post[None]), wr_cfg, tgt, g.overlap,
+            True)
+    cond_dt, _, (cond, aux) = _timeit(cond_fn)
     n_folds = cond.shape[0]
     bucket = -(-n_folds // 8) * 8
     if bucket != n_folds:
         pad_rows = ((0, bucket - n_folds), (0, 0), (0, 0))
         cond = jnp.pad(cond, pad_rows)
         aux = jnp.pad(aux, pad_rows)
-    T_steps = int(cond.shape[1])
 
-    cond_dt, _, _ = _timeit(
-        lambda i: WR._prepare_conditioning(wr_params,
-                                           jnp_asarray(post[None]), wr_cfg,
-                                           tgt, g.overlap, True))
     fl, by = RL.wavernn_conditioning_cost(wr_cfg, 1, t_total)
+    if backend == "xla":
+        # the xla scan path additionally materialises + folds the
+        # sample-rate cond/aux (the rows kernel never does)
+        dup = (tgt + 2 * g.overlap) / tgt
+        by += 4 * t_total * (wr_cfg.feat_dims + wr_cfg.res_out_dims) * (
+            1 + 2 * dup)
+        fl += 2 * t_total * wr_cfg.feat_dims * (
+            2 * RL._band_reach(wr_cfg) + 1)
     entries.append(RL.account("wavernn_conditioning", fl, by, cond_dt, spec))
 
-    backend = "pallas" if on_tpu else "xla"
     if backend == "pallas":
         from autovc_tpu.ops import wavernn_pallas
-        samp_fn = lambda i: wavernn_pallas.generate_scan_pallas(
+        samp_fn = lambda i: wavernn_pallas.generate_rows_pallas(
             wr_params, cond, aux, jax.random.PRNGKey(i), wr_cfg, True)
         fl_s, by_s = RL.wavernn_step_cost(wr_cfg, int(cond.shape[0]))
         dt_name, dtype = "wavernn_sampling(pallas)", "bf16"
