@@ -73,6 +73,7 @@ def make_sharded_ae_step(cfg: AutoEncoderConfig,
         with PREC.compute(precision):
             (loss_val, (aux, params_bn)), grads = jax.value_and_grad(
                 AE.loss, has_aux=True)(params, x, c_org, cfg)
+        aux = dict(aux, grad_norm=optax.global_norm(grads))
         updates, opt_state = tx.update(grads, opt_state, params_bn)
         new_params = optax.apply_updates(params_bn, updates)
         ema = base_loop.ema_update(ema, new_params, ema_decay)
@@ -80,7 +81,7 @@ def make_sharded_ae_step(cfg: AutoEncoderConfig,
 
     opt_shard = shd.tree_shardings_like(tx.init(params_example), repl)
     aux_shard = {"loss": repl, "loss_recon": repl, "loss_recon0": repl,
-                 "loss_content": repl}
+                 "loss_content": repl, "grad_norm": repl}
     return jax.jit(
         step,
         in_shardings=(p_shard, opt_shard, p_shard, batch, batch),
@@ -107,13 +108,15 @@ def make_sharded_se_step(cfg: SpeakerEncoderConfig,
         grads = dict(grads,
                      similarity_weight=grads["similarity_weight"] * 0.01,
                      similarity_bias=grads["similarity_bias"] * 0.01)
+        aux = {"loss": loss_val, "grad_norm": optax.global_norm(grads)}
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss_val
+        return optax.apply_updates(params, updates), opt_state, aux
 
     opt_shard = shd.tree_shardings_like(tx.init(params_example), repl)
     return jax.jit(step,
                    in_shardings=(p_shard, opt_shard, batch),
-                   out_shardings=(p_shard, opt_shard, repl))
+                   out_shardings=(p_shard, opt_shard,
+                                  {"loss": repl, "grad_norm": repl}))
 
 
 def make_sharded_convert(cfg: AutoEncoderConfig, mesh: Mesh,

@@ -43,13 +43,19 @@ def ema_update(ema, params, decay: float):
 
 def make_ae_step(cfg: AutoEncoderConfig, tx: optax.GradientTransformation,
                  ema_decay: float, axis_name: str | None = None,
-                 precision: str | None = None) -> Callable:
+                 precision: str | None = None,
+                 with_grads: bool = False) -> Callable:
     """AutoVC train step.  ``precision`` ("bf16" default from
     ``cfg.learn.precision``) selects the matmul/conv compute policy: bf16
     operands with f32 accumulation halve the MXU passes while master
     weights, gradients, Adam state, EMA and BatchNorm statistics all stay
     f32 (ops/precision.py).  The reference trains pure f32
-    (auto_encoder/model.py:300-318) — pass precision="f32" for that."""
+    (auto_encoder/model.py:300-318) — pass precision="f32" for that.
+
+    aux always carries ``grad_norm`` (pre-clip global norm); with
+    ``with_grads`` the raw gradient tree rides along too (device refs, no
+    extra compute) so the loop can histogram it — the reference's
+    ``run.watch(model)`` stream (auto_encoder/model.py:276-277)."""
     from autovc_tpu.models import autoencoder as AE
     from autovc_tpu.ops import precision as PREC
 
@@ -62,6 +68,9 @@ def make_ae_step(cfg: AutoEncoderConfig, tx: optax.GradientTransformation,
                                        axis_name=axis_name)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
+        aux = dict(aux, grad_norm=optax.global_norm(grads))
+        if with_grads:
+            aux["grads"] = grads
         updates, opt_state = tx.update(grads, opt_state, params_bn)
         # BN running stats changed inside the forward; apply the optimizer on
         # top of the stat-updated tree (their grads are zero).
@@ -126,7 +135,8 @@ def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
             if verbose:
                 print(f"Resumed from '{latest}' at step {start_step}")
 
-    step_fn = make_ae_step(cfg, tx, ema_decay, precision=precision)
+    step_fn = make_ae_step(cfg, tx, ema_decay, precision=precision,
+                           with_grads=True)
 
     n_total = n_epochs * steps_per_epoch
     step = start_step
@@ -148,6 +158,7 @@ def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
                 logger.log({"loss": running / max(log_steps, 1),
                             "loss_recon": float(aux["loss_recon"]),
                             "loss_content": float(aux["loss_content"]),
+                            "grad_norm": float(aux["grad_norm"]),
                             "learning_rate": float(lr_schedule(step)),
                             "epoch": epoch, "step": step}, step=step)
                 running, log_steps = 0.0, 0
@@ -160,6 +171,13 @@ def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
                             block=False)
         if logger is not None and x is not None and (
                 epoch % save_freq == 0 or epoch == n_epochs):
+            # parameter + gradient histograms, the reference's run.watch()
+            # stream (auto_encoder/model.py:276-277); optional so duck-typed
+            # loggers that only implement .log() still work
+            hist = getattr(logger, "log_tree_histograms", None)
+            if hist is not None:
+                hist("params", params, step=step)
+                hist("grads", aux.get("grads", {}), step=step)
             # original-vs-reconstruction mel figure, as the reference logs
             # each save epoch (auto_encoder/model.py:371-374,439-450)
             try:
@@ -207,8 +225,9 @@ def make_se_step(cfg: SpeakerEncoderConfig,
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss_val = jax.lax.pmean(loss_val, axis_name)
+        aux = {"loss": loss_val, "grad_norm": optax.global_norm(grads)}
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss_val
+        return optax.apply_updates(params, updates), opt_state, aux
 
     return jax.jit(step) if axis_name is None else step
 
@@ -267,14 +286,30 @@ def train_speaker_encoder(params, dataset, cfg: SpeakerEncoderConfig,
     for epoch in range(1, n_epochs + 1):
         for batch in dataset.batches(utterances_per_speaker,
                                      n_batches=steps_per_epoch, seed=epoch):
-            params, opt_state, loss_val = step_fn(params, opt_state, batch)
+            params, opt_state, aux = step_fn(params, opt_state, batch)
+            loss_val = aux["loss"]
             step += 1
             if verbose:
                 progbar(step - start_step, n_total,
                         {"loss": round(float(loss_val), 4)})
             if logger is not None and step % log_freq == 0:
-                logger.log({"loss": float(loss_val), "epoch": epoch,
-                            "step": step}, step=step)
+                logger.log({"loss": float(loss_val),
+                            "grad_norm": float(aux["grad_norm"]),
+                            "epoch": epoch, "step": step}, step=step)
+        if logger is not None and (epoch % save_freq == 0
+                                   or epoch == n_epochs):
+            # EER on the last batch's similarity matrix — the quality metric
+            # the reference left commented out (model.py:254-262)
+            from autovc_tpu.models import speaker_encoder as SE
+            b = np.asarray(batch)
+            S, U = b.shape[:2]
+            emb = SE.forward(params, b.reshape(S * U, *b.shape[2:]))
+            sim = SE.similarity_matrix(params, emb.reshape(S, U, -1))
+            logger.log({"eer": SE.equal_error_rate(np.asarray(sim)),
+                        "epoch": epoch, "step": step}, step=step)
+            hist = getattr(logger, "log_tree_histograms", None)
+            if hist is not None:
+                hist("params", params, step=step)
         if (epoch % save_freq == 0 or epoch == n_epochs) and model_name:
             from autovc_tpu.utils.checkpoint import save_checkpoint
             save_checkpoint(f"{save_dir.rstrip('/')}/{model_name}",
@@ -326,8 +361,9 @@ def make_vocoder_step(cfg: WaveRNNConfig, tx: optax.GradientTransformation,
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss_val = jax.lax.pmean(loss_val, axis_name)
+        aux = {"loss": loss_val, "grad_norm": optax.global_norm(grads)}
         updates, opt_state = tx.update(grads, opt_state, params_bn)
-        return optax.apply_updates(params_bn, updates), opt_state, loss_val
+        return optax.apply_updates(params_bn, updates), opt_state, aux
 
     return jax.jit(step) if axis_name is None else step
 
@@ -366,15 +402,17 @@ def train_vocoder(params, dataset, cfg: WaveRNNConfig,
         for x_in, y, mels in dataset.batches(batch_size, seq_frames,
                                              n_batches=steps_per_epoch,
                                              seed=epoch):
-            params, opt_state, loss_val = step_fn(params, opt_state, x_in,
-                                                  y, mels)
+            params, opt_state, aux = step_fn(params, opt_state, x_in,
+                                             y, mels)
+            loss_val = aux["loss"]
             step += 1
             if verbose:
                 progbar(step - start_step, n_total,
                         {"loss": round(float(loss_val), 4)})
             if logger is not None and step % log_freq == 0:
-                logger.log({"loss": float(loss_val), "epoch": epoch,
-                            "step": step}, step=step)
+                logger.log({"loss": float(loss_val),
+                            "grad_norm": float(aux["grad_norm"]),
+                            "epoch": epoch, "step": step}, step=step)
         if model_name:
             from autovc_tpu.utils.checkpoint import save_checkpoint
             save_checkpoint(f"{(save_dir or cfg.model_dir).rstrip('/')}/"

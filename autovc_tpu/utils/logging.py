@@ -62,6 +62,44 @@ class MetricsLogger:
         if self.run is not None:
             self.run.log(metrics, step=step)
 
+    def log_histogram(self, name: str, values, step: int | None = None,
+                      bins: int = 24) -> None:
+        """Log a value histogram — wandb.Histogram when live; the JSONL
+        record always gets bin counts + summary stats.  Together with
+        :meth:`log_tree_histograms` this covers the reference's
+        ``run.watch(model)`` parameter/gradient histogram stream
+        (auto_encoder/model.py:276-277, speaker_encoder/model.py:332-333)."""
+        import numpy as np
+        v = np.asarray(values, dtype=np.float64).ravel()
+        if v.size == 0:
+            return
+        counts, edges = np.histogram(v, bins=bins)
+        record = {f"hist/{name}": {
+            "count": int(v.size), "mean": float(v.mean()),
+            "std": float(v.std()), "min": float(v.min()),
+            "max": float(v.max()), "bins": counts.tolist(),
+            "lo": float(edges[0]), "hi": float(edges[-1])}}
+        record["_time"] = round(time.time() - self._t0, 3)
+        if step is not None:
+            record["_step"] = step
+        with open(self.jsonl_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        if self.run is not None:
+            import wandb
+            self.run.log({name: wandb.Histogram(
+                np_histogram=(counts, edges))}, step=step)
+
+    def log_tree_histograms(self, prefix: str, tree, step: int | None = None,
+                            bins: int = 24) -> None:
+        """Histogram every array leaf of a pytree (named by its key path)."""
+        import jax
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            name = "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+            if hasattr(leaf, "shape"):
+                self.log_histogram(f"{prefix}/{name}", leaf, step=step,
+                                   bins=bins)
+
     def log_audio(self, name: str, wav, sr: int, caption: str = "",
                   step: int | None = None, save_dir: str | None = None):
         """Log converted audio — to wandb when live, else to a wav file."""

@@ -117,15 +117,16 @@ def test_sharded_se_step_matches_single_device():
     block = rng.random((8, 4, 40, 40), dtype=np.float32)
 
     step1 = base_loop.make_se_step(cfg, tx)
-    p1, _, loss1 = step1(params, tx.init(params), block)
+    p1, _, aux1 = step1(params, tx.init(params), block)
 
     stepN = psteps.make_sharded_se_step(cfg, tx, mesh, params)
     p_sh = shd.shard_params(params, mesh)
     opt0 = jax.device_put(tx.init(params),
                           shd.tree_shardings_like(tx.init(params),
                                                   shd.replicated(mesh)))
-    pN, _, lossN = stepN(p_sh, opt0, psteps.shard_batch(block, mesh))
-    assert float(loss1) == pytest.approx(float(lossN), rel=1e-5)
+    pN, _, auxN = stepN(p_sh, opt0, psteps.shard_batch(block, mesh))
+    assert float(aux1["loss"]) == pytest.approx(float(auxN["loss"]),
+                                                rel=1e-5)
     # Adam at step 1 normalises grads to ~±lr (see AE test comment).
     lr = cfg.optimizer.lr
     for a, b in zip(jax.tree_util.tree_leaves(p1),

@@ -51,17 +51,23 @@ def test_ae_training_reduces_loss(tmp_path):
     params = AE.init(jax.random.PRNGKey(0), cfg)
     ds = _ArrayDataset(n=8, T=64)
 
-    losses = []
+    records = []
 
     class Cap:
         def log(self, m, step=None):
-            losses.append(m["loss"])
+            records.append(m)
 
     params, ema, info = train_loop.train_autoencoder(
         params, ds, cfg, n_epochs=6, batch_size=4, log_freq=2,
         model_name="", logger=Cap(), verbose=False)
+    losses = [m["loss"] for m in records if "loss" in m]
     assert info["step"] == 12
     assert losses[-1] < losses[0] * 0.9, losses
+    # observability parity: grad_norm series rides in every log record
+    # (the reference's run.watch, auto_encoder/model.py:276-277)
+    grad_norms = [m["grad_norm"] for m in records if "grad_norm" in m]
+    assert len(grad_norms) == len(losses)
+    assert all(np.isfinite(g) and g > 0 for g in grad_norms)
     # EMA stays close to params but not equal
     d = jax.tree_util.tree_map(lambda a, b: np.abs(a - b).max(), params, ema)
     assert max(jax.tree_util.tree_leaves(d)) > 0
@@ -104,17 +110,26 @@ def test_se_training_reduces_loss():
                 yield np.swapaxes(block, 2, 2)
 
     ds = SynthSE()
-    losses = []
+    records = []
 
     class Cap:
         def log(self, m, step=None):
-            losses.append(m["loss"])
+            records.append(m)
 
     params, info = train_loop.train_speaker_encoder(
         params, ds, cfg, n_epochs=4, utterances_per_speaker=4,
         steps_per_epoch=4, log_freq=1, model_name="", logger=Cap(),
         verbose=False)
+    losses = [m["loss"] for m in records if "loss" in m]
     assert losses[-1] < losses[0], losses
+    # grad_norm series + EER at save epochs (the metric the reference left
+    # commented out, speaker_encoder/model.py:254-262)
+    assert all(np.isfinite(m["grad_norm"]) for m in records
+               if "grad_norm" in m)
+    eers = [m["eer"] for m in records if "eer" in m]
+    assert eers and all(0.0 <= e <= 1.0 for e in eers)
+    # distinct synthetic speakers should be near-separable by now
+    assert eers[-1] < 0.5
 
 
 def test_vocoder_training_step_runs():
@@ -396,3 +411,32 @@ def test_precision_mode_restored_after_error():
     except RuntimeError:
         pass
     assert PREC.mode() == "f32"
+
+
+def test_metrics_logger_histograms(tmp_path):
+    """MetricsLogger JSONL fallback records scalar series AND histogram
+    summaries (the offline image of wandb.watch + wandb.Histogram)."""
+    import json
+
+    from autovc_tpu.utils.logging import MetricsLogger
+
+    logger = MetricsLogger(log_dir=str(tmp_path))
+    logger.log({"loss": 1.25, "grad_norm": 0.5}, step=1)
+    logger.log_histogram("w", np.linspace(-1, 1, 100), step=1)
+    tree = {"enc": {"w": np.ones((4, 4)), "b": np.zeros(4)},
+            "blocks": [{"k": np.full(3, 2.0)}]}
+    logger.log_tree_histograms("params", tree, step=1)
+    logger.finish()
+
+    with open(logger.jsonl_path) as f:
+        records = [json.loads(line) for line in f]
+    assert records[0]["loss"] == 1.25 and records[0]["grad_norm"] == 0.5
+    hists = {k: v for r in records for k, v in r.items()
+             if k.startswith("hist/")}
+    assert "hist/w" in hists
+    assert hists["hist/w"]["count"] == 100
+    assert sum(hists["hist/w"]["bins"]) == 100
+    # tree leaves named by key path, list indices included
+    assert "hist/params/enc/w" in hists
+    assert "hist/params/blocks/0/k" in hists
+    assert hists["hist/params/blocks/0/k"]["mean"] == 2.0
