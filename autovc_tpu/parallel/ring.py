@@ -29,6 +29,7 @@ tests/test_ring_sp.py on an 8-device CPU mesh.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Sequence
 
 import jax
@@ -204,3 +205,86 @@ def ring_bilstm_stack(params: Sequence[Params], x: jnp.ndarray, mesh: Mesh,
     for layer in params:
         x = ring_bilstm_layer(layer, x, mesh, axis_name)
     return x
+
+
+def ring_lstm_stack(params: Sequence[Params], x: jnp.ndarray, mesh: Mesh,
+                    axis_name: str = "data") -> jnp.ndarray:
+    """Multi-layer unidirectional time-sharded LSTM (the AE decoder's
+    recurrences, reference autovc/auto_encoder/decoder.py:37,53)."""
+    for layer in params:
+        x, _ = ring_lstm_layer(layer, x, mesh, axis_name)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "axis_name",
+                                             "precision"))
+def ring_autovc_infer(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
+                      c_trg: jnp.ndarray, cfg, mesh: Mesh,
+                      axis_name: str = "data",
+                      precision: str = "f32") -> jnp.ndarray:
+    """EXACT sequence-parallel AutoVC conversion over the UNCHUNKED mel.
+
+    The whole generator runs with its time axis sharded over the mesh: the
+    conv stacks lower under GSPMD (XLA inserts the halo exchanges), and
+    every recurrence runs as a ppermute ring wavefront
+    (:func:`ring_bilstm_stack` for the encoder BLSTM — reference
+    encoder.py:51 — and :func:`ring_lstm_stack` for the two decoder LSTMs,
+    decoder.py:37-53).  Unlike the reference's overlapped-chunk strategy
+    (spectrogram.py:248-311 + the nanmean merge), the result is bitwise the
+    single-device ``autoencoder.infer`` output for the same input — no
+    boundary approximation — while activations are split N ways, so audio
+    N× longer than one chip's HBM fits.
+
+    Args:
+      x: (B, n_mels, T) mel with T divisible by the mesh axis size.
+    Returns: (B, n_mels, T) converted postnet mel.
+    """
+    from autovc_tpu.models import autoencoder as AEm
+    from autovc_tpu.ops import conv as C
+    from autovc_tpu.ops import precision as PREC
+    from jax.sharding import NamedSharding
+
+    n = mesh.shape[axis_name]
+    B, n_mels, T = x.shape
+    if T % n:
+        raise ValueError(
+            f"ring SP needs the mel frame count ({T}) divisible by the "
+            f"mesh axis size ({n}); pad or trim the input")
+    tshard = NamedSharding(mesh, P(None, None, axis_name))
+
+    with PREC.compute(PREC.resolve(precision)):
+        x = jax.lax.with_sharding_constraint(x, tshard)
+        enc = params["encoder"]
+        h = jnp.concatenate(
+            [x, jnp.broadcast_to(c_org[:, :, None],
+                                 (*c_org.shape, T))], axis=1)
+        for p in enc["convs"]:
+            h, _ = C.conv_bn(p, h, 5, train=False, activation=jax.nn.relu)
+        h = jnp.swapaxes(h, 1, 2)                      # (B, T, 512)
+        out = ring_bilstm_stack(enc["blstm"], h, mesh, axis_name)
+        dim_neck = cfg.dim_neck
+        out_f, out_b = out[..., :dim_neck], out[..., dim_neck:]
+        codes_fwd = out_f[:, cfg.freq - 1::cfg.freq, :]
+        codes_bwd = out_b[:, ::cfg.freq, :]
+
+        up = AEm.upsample_codes(codes_fwd, codes_bwd, cfg.freq, T)
+        dec_in = jnp.concatenate(
+            [up, jnp.broadcast_to(c_trg[:, None, :],
+                                  (B, T, c_trg.shape[-1]))], axis=-1)
+        dec_in = jax.lax.with_sharding_constraint(
+            dec_in, NamedSharding(mesh, P(None, axis_name, None)))
+        dec = params["decoder"]
+        h = ring_lstm_stack(dec["lstm1"], dec_in, mesh, axis_name)
+        h = jnp.swapaxes(h, 1, 2)
+        for p in dec["convs"]:
+            h, _ = C.conv_bn(p, h, 5, train=False, activation=jax.nn.relu)
+        h = jnp.swapaxes(h, 1, 2)
+        h = ring_lstm_stack(dec["lstm2"], h, mesh, axis_name)
+        mel_dec = jnp.swapaxes(C.linear(dec["proj"], h), 1, 2)
+
+        r = mel_dec
+        post = params["postnet"]["convs"]
+        for i, p in enumerate(post):
+            act = jnp.tanh if i < len(post) - 1 else None
+            r, _ = C.conv_bn(p, r, 5, train=False, activation=act)
+        return mel_dec + r

@@ -136,7 +136,8 @@ class VoiceConverter:
                 cut: bool = True, overlap: float = 0.5,
                 audio_log_dict: Dict[str, Any] | None = None,
                 seed: int = 0, use_ema: bool = False,
-                pad_to_seconds: float | None = None):
+                pad_to_seconds: float | None = None,
+                parallel: str | None = None, mesh=None):
         """Convert the content of ``source`` into the voice of ``target``.
 
         Mirrors voice_converter.py:88-211.  ``target`` may be a wav path or a
@@ -151,6 +152,16 @@ class VoiceConverter:
         true duration: every program in the pipeline then compiles for at
         most duration/s distinct shapes, so arbitrary-length inputs reuse
         the persistent compilation cache (see scripts/prewarm_cache.py).
+
+        ``parallel`` selects a multi-device auto-encoder strategy over
+        ``mesh`` (default: a 1-D 'data' mesh over all devices):
+          * ``"chunks"`` — the overlapped chunk axis is the DP axis
+            (sequence parallelism with the reference's chunk semantics,
+            spectrogram.py:248-311); requires ``cut=True``.
+          * ``"ring"`` — EXACT sequence parallelism: the unchunked mel's
+            time axis is sharded and every recurrence runs as a ppermute
+            ring wavefront (parallel/ring.py); the mel frame count is
+            trimmed to a mesh-size multiple.
         Returns the converted :class:`Audio`.
         """
         import jax
@@ -190,13 +201,55 @@ class VoiceConverter:
         # The mel front-end, chunk slicing, AE and vocoder all run on
         # device; the raw wav is the only upload and the finished waveform
         # the only download.
-        if cut:
+        if parallel not in (None, "chunks", "ring"):
+            raise ValueError(f"parallel must be None, 'chunks' or 'ring', "
+                             f"got {parallel!r}")
+        if parallel == "chunks" and not cut:
+            raise ValueError("parallel='chunks' shards the chunk axis; it "
+                             "requires cut=True")
+        if parallel == "ring" and pad_to_seconds:
+            raise ValueError("pad_to_seconds trims by chunk geometry and "
+                             "does not compose with parallel='ring'")
+        if parallel == "ring":
+            import jax.numpy as jnp
+
+            from autovc_tpu.parallel import ring as pring
+            from autovc_tpu.parallel import sharding as shd
+            mesh = mesh or shd.make_mesh()
+            n = int(mesh.shape["data"])
+            mel = dsp.mel_spec_auto_encoder(audio_src.wav, mel_cfg)
+            Tn = (mel.shape[-1] // n) * n
+            if Tn == 0:
+                raise ValueError(f"input too short for ring SP over {n} "
+                                 f"devices ({mel.shape[-1]} mel frames)")
+            post_mel = pring.ring_autovc_infer(
+                ae_params, jnp.asarray(mel[None, :, :Tn], jnp.float32),
+                jnp.asarray(c_source), jnp.asarray(c_target), ae_cfg,
+                mesh, "data", self.ae_precision)[0]
+        elif cut:
             from autovc_tpu.ops import melspec as dev_mel
             chunks, _ = dev_mel.mel_spec_auto_encoder_sliced(
                 audio_src.wav, mel_cfg, overlap=overlap)
-            post_mel = AEm.batch_forward_jit(
-                ae_params, chunks, c_source, c_target, ae_cfg, overlap,
-                self.ae_precision)
+            if parallel == "chunks":
+                import jax.numpy as jnp
+
+                from autovc_tpu.parallel import sharding as shd
+                from autovc_tpu.parallel import steps as psteps
+                mesh = mesh or shd.make_mesh()
+                n = int(mesh.shape["data"])
+                M = int(chunks.shape[0])
+                pad = (-M) % n
+                if pad:
+                    chunks = jnp.pad(chunks, ((0, pad), (0, 0), (0, 0)))
+                chunks = psteps.shard_batch(chunks, mesh)
+                post_mel = psteps.chunk_sharded_convert(
+                    ae_params, chunks, jnp.asarray(c_source),
+                    jnp.asarray(c_target), ae_cfg, overlap, valid_rows=M,
+                    precision=self.ae_precision)
+            else:
+                post_mel = AEm.batch_forward_jit(
+                    ae_params, chunks, c_source, c_target, ae_cfg, overlap,
+                    self.ae_precision)
         else:
             mel = dsp.mel_spec_auto_encoder(audio_src.wav, mel_cfg)
             post_mel = AEm.infer(ae_params, mel[None],
@@ -259,7 +312,8 @@ class VoiceConverter:
                       preprocess=None, preprocess_args=None,
                       outprocess=None, outprocess_args=None,
                       overlap: float = 0.5, seed: int = 0,
-                      save_dir=None, use_ema: bool = False):
+                      save_dir=None, use_ema: bool = False,
+                      parallel: str | None = None, devices=None):
         """Batch-serving conversion: many sources -> one target voice in one
         device pass per stage.
 
@@ -267,6 +321,13 @@ class VoiceConverter:
         and all their vocoder folds join one sampling loop
         (:func:`wavernn.generate_many`), filling the MXU far better than
         per-utterance calls.  Returns a list of converted :class:`Audio`.
+
+        ``parallel="pipeline"`` runs the AE and vocoder as device-pinned
+        pipeline stages over disjoint device groups
+        (:func:`autovc_tpu.parallel.pipeline.conversion_pipeline`):
+        utterance j's vocoding overlaps utterance j+1's AE conversion;
+        ``devices`` (default: all) is split contiguously between the stages.
+        Requires >= 2 devices.
         """
         import jax
 
@@ -299,21 +360,48 @@ class VoiceConverter:
             all_chunks.append(chunks)
             c_orgs.append(self._embed(audio))
 
-        # Shape-stable serving: every utterance's chunks run through
-        # fixed-row slab programs (one compile for ANY workload) and merge
-        # into one packed mel timeline on device; per-utterance views feed
-        # the joint vocoder pass — nothing but the finished waveforms
-        # crosses the host boundary.
         ae_params = self._ae_params(use_ema)
-        packed, starts, lengths = AEm.batch_forward_packed(
-            ae_params, all_chunks, c_orgs, c_target, ae_cfg, overlap,
-            self.ae_precision)
-        post_mels = [packed[:, s:s + L] for s, L in zip(starts, lengths)]
+        if parallel == "pipeline":
+            # Stage-parallel serving: AE on one device group, vocoder on
+            # the other; utterance j's vocoding overlaps utterance j+1's
+            # conversion (parallel/pipeline.py).
+            from autovc_tpu.parallel import pipeline as ppipe
+            wr_cfg = self.vocoder.config
+            g = wr_cfg.generate
+            pipe = ppipe.conversion_pipeline(
+                ae_params, self.vocoder.params, ae_cfg, wr_cfg,
+                devices=devices, overlap=overlap)
+            items = [(chunks, c_org[None], c_target,
+                      jax.random.PRNGKey(seed + i))
+                     for i, (chunks, c_org)
+                     in enumerate(zip(all_chunks, c_orgs))]
+            folded = pipe.run(items)
+            wavs = []
+            for chunks, y in zip(all_chunks, folded):
+                M, _, N = chunks.shape
+                frames = N + (M - 1) * int(N * (1 - overlap))
+                wave_len = (frames - 1) * wr_cfg.hop_length
+                w = WRm.xfade_and_unfold(np.asarray(y, np.float64),
+                                         g.overlap)[:wave_len]
+                wavs.append(w.astype(np.float32))
+        elif parallel is not None:
+            raise ValueError(f"parallel must be None or 'pipeline', "
+                             f"got {parallel!r}")
+        else:
+            # Shape-stable serving: every utterance's chunks run through
+            # fixed-row slab programs (one compile for ANY workload) and
+            # merge into one packed mel timeline on device; per-utterance
+            # views feed the joint vocoder pass — nothing but the finished
+            # waveforms crosses the host boundary.
+            packed, starts, lengths = AEm.batch_forward_packed(
+                ae_params, all_chunks, c_orgs, c_target, ae_cfg, overlap,
+                self.ae_precision)
+            post_mels = [packed[:, s:s + L] for s, L in zip(starts, lengths)]
 
-        wavs = WRm.generate_many(self.vocoder.params, post_mels,
-                                 self.vocoder.config,
-                                 key=jax.random.PRNGKey(seed),
-                                 backend=self.vocoder_backend)
+            wavs = WRm.generate_many(self.vocoder.params, post_mels,
+                                     self.vocoder.config,
+                                     key=jax.random.PRNGKey(seed),
+                                     backend=self.vocoder_backend)
         outs = []
         for src, wav in zip(sources, wavs):
             audio_out = Audio(wav, sr=sr,
