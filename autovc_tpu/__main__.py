@@ -32,6 +32,18 @@ def main(argv=None):
         vc.learn_speakers(mode_args.mean_speaker_path)
 
     if vc_args.mode == "convert":
+        # Fail fast on unsupported -convert_params keys: convert() has an
+        # explicit signature (the reference's **kwargs silently swallowed
+        # typos), so a bad key should die at the CLI, not mid-batch.
+        import inspect
+        allowed = set(inspect.signature(
+            VoiceConverter.convert).parameters) - {"self", "source",
+                                                   "target"}
+        bad = sorted(set(mode_args.convert_params) - allowed)
+        if bad:
+            raise SystemExit(
+                f"unsupported -convert_params key(s) {bad}; "
+                f"convert() accepts: {sorted(allowed)}")
         vc.convert_multiple(
             sources=mode_args.sources,
             targets=(mode_args.targets[0] if len(mode_args.targets) == 1

@@ -66,3 +66,14 @@ def test_cli_convert_end_to_end(tmp_path):
 def test_cli_rejects_bad_mode():
     with pytest.raises(SystemExit):
         parse_vc_args(["-mode", "bogus"])
+
+
+def test_cli_rejects_unknown_convert_params():
+    """Unsupported -convert_params keys die at dispatch time with a clear
+    message, before any model work (convert() has an explicit signature —
+    the reference's **kwargs silently swallowed typos)."""
+    from autovc_tpu.__main__ import main
+    with pytest.raises(SystemExit, match="mel_kwargsss"):
+        main(["-mode", "convert", "-quiet",
+              "-sources", "a.wav", "-targets", "b.wav",
+              "-convert_params", "mel_kwargsss=1"])
