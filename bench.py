@@ -318,6 +318,11 @@ def main():
         seed += K
     serve_dt = min(window_dts)
     serve_throughput = serve_audio_s / serve_dt
+    # The headline keeps the best window (the tunneled link's bandwidth
+    # jitters 2x run-to-run and the chip capability is the peak), but the
+    # mean/median sustained numbers ride along so the policy is explicit.
+    serve_mean = serve_audio_s / (sum(window_dts) / len(window_dts))
+    serve_median = serve_audio_s / sorted(window_dts)[len(window_dts) // 2]
 
     details.update({
         "serve_audio_seconds_per_second_per_chip": round(serve_throughput, 3),
@@ -333,6 +338,9 @@ def main():
         "serve_utterances": len(wavs),
         "serve_audio_seconds": round(serve_audio_s, 2),
         "serve_batch_latency_ms": round(serve_batch_latency * 1e3, 1),
+        "serve_throughput_policy": "peak-sustained (best of N windows)",
+        "serve_mean_audio_s_per_s": round(serve_mean, 3),
+        "serve_median_audio_s_per_s": round(serve_median, 3),
         "serve_window_audio_s_per_s": [round(serve_audio_s / dt, 1)
                                        for dt in window_dts],
     })

@@ -88,11 +88,54 @@ def main():
         results[n]["efficiency"] = round(
             results[n]["audio_s_per_s"] / (n * base), 3)
 
+    # ---- DP-sharded vocoder serving (fold-row axis over 'data') ----------
+    # generate_many's union fold batch is embarrassingly parallel over rows:
+    # sharding the row axis splits the sampling scan's per-step matmuls
+    # across devices with zero collectives until the readback.
+    from autovc_tpu.config import WaveRNNConfig
+    from autovc_tpu.models import wavernn as WR
+
+    wr_cfg = WaveRNNConfig().with_overrides(
+        rnn_dims=128, fc_dims=128, compute_dims=32, res_out_dims=16,
+        res_blocks=2)
+    wr_params = WR.init(jax.random.PRNGKey(1), wr_cfg)
+    rows_per_dev = int(os.environ.get("AUTOVC_SCALING_VOC_ROWS", "2"))
+    T_steps = int(os.environ.get("AUTOVC_SCALING_VOC_STEPS", "1100"))
+    voc = {}
+    for n in sizes:
+        mesh = shd.make_mesh((n,), ("data",), devices=devices[:n])
+        rows = rows_per_dev * n
+        cond = rng.random((rows, T_steps, 80), dtype=np.float32)
+        aux = rng.random((rows, T_steps, wr_cfg.res_out_dims),
+                         dtype=np.float32)
+        with jax.set_mesh(mesh):
+            cs = psteps.shard_batch(cond, mesh)
+            as_ = psteps.shard_batch(aux, mesh)
+            key = jax.random.PRNGKey(0)
+            out = WR._generate_scan(wr_params, cs, as_, key, wr_cfg, True, 1)
+            jax.block_until_ready(out)                 # compile
+            t0 = time.time()
+            for i in range(3):
+                out = WR._generate_scan(wr_params, cs, as_,
+                                        jax.random.PRNGKey(i), wr_cfg,
+                                        True, 1)
+            jax.block_until_ready(out)
+            dt = (time.time() - t0) / 3
+        voc[n] = {"ms": round(dt * 1e3, 1),
+                  "samples_per_s": round(rows * T_steps / dt, 0)}
+        print(f"# voc N={n}: {rows} rows, {dt*1e3:.1f} ms, "
+              f"{voc[n]['samples_per_s']:.0f} samples/s", file=sys.stderr)
+    vbase = voc[sizes[0]]["samples_per_s"]
+    for n in sizes:
+        voc[n]["efficiency"] = round(voc[n]["samples_per_s"] / (n * vbase), 3)
+
     print(json.dumps({
         "metric": "dp_scaling_efficiency",
         "sizes": sizes,
         "results": {str(k): v for k, v in results.items()},
         "efficiency_at_max": results[sizes[-1]]["efficiency"],
+        "vocoder": {str(k): v for k, v in voc.items()},
+        "vocoder_efficiency_at_max": voc[sizes[-1]]["efficiency"],
         "physical_cores": os.cpu_count(),
         "platform": jax.default_backend(),
     }))
