@@ -136,3 +136,31 @@ def test_pallas_backend_falls_back_on_unaligned_geometry(setup):
                       backend="pallas", interpret=True)
     assert wav.shape == (11 * cfg.hop_length,)
     assert np.all(np.isfinite(wav))
+
+
+def test_fold_rows_is_frame_image_of_sample_fold():
+    """_fold_rows must be the exact frame-unit image of fold_with_overlap:
+    same fold count, and row r's frames upsample to exactly row r's
+    samples (margin frames included)."""
+    import jax.numpy as jnp
+
+    S = 4
+    t_f, o_f, J = 4, 2, 2
+    F = 23
+    rng = np.random.default_rng(0)
+    frames = rng.random((1, F, 3), dtype=np.float32)
+    # sample-rate signal whose value encodes its source frame
+    samples = jnp.repeat(jnp.asarray(frames), S, axis=1)     # (1, F*S, 3)
+
+    rows_f = np.asarray(WR._fold_rows(jnp.asarray(frames), t_f, o_f, 0))
+    rows_s = np.asarray(WR.fold_with_overlap(samples, t_f * S, o_f * S))
+    assert rows_f.shape[0] == rows_s.shape[0]
+    np.testing.assert_array_equal(np.repeat(rows_f, S, axis=1), rows_s)
+
+    # margin rows: interior margins carry the neighbouring REAL frames
+    rows_m = np.asarray(WR._fold_rows(jnp.asarray(frames), t_f, o_f, J))
+    assert rows_m.shape[1] == t_f + 2 * o_f + 2 * J
+    np.testing.assert_array_equal(rows_m[:, J:-J], rows_f)
+    np.testing.assert_array_equal(rows_m[1, :J], rows_f[0, t_f:t_f + J])
+    # leading margin of row 0 is zero-filled (out of sequence range)
+    assert np.all(rows_m[0, :J] == 0)
