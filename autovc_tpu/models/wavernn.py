@@ -343,8 +343,11 @@ def _finish(samples: jnp.ndarray, overlap: int, wave_len: int, hop: int,
         else samples[0]
     out = out[:wave_len]
     L = int(out.shape[0])
+    # 20-hop linear fade-out (model.py:325-327); outputs shorter than the
+    # fade get the whole ramp compressed into their length so the tail
+    # still ends at exactly zero gain (a truncated ramp would not).
     fade_n = min(20 * hop, L)
-    fade = jnp.linspace(1.0, 0.0, 20 * hop, dtype=out.dtype)[:fade_n]
+    fade = jnp.linspace(1.0, 0.0, fade_n, dtype=out.dtype)
     return out.at[L - fade_n:].multiply(fade)
 
 
@@ -365,8 +368,8 @@ def _finish_many(samples: jnp.ndarray, counts: tuple, wave_lens: tuple,
         row += n_folds
         out = xfade_and_unfold_device(y, overlap)[:wl]
         L = int(out.shape[0])
-        fade_n = min(20 * hop, L)
-        fade = jnp.linspace(1.0, 0.0, 20 * hop, dtype=out.dtype)[:fade_n]
+        fade_n = min(20 * hop, L)   # full ramp to zero even when L < fade
+        fade = jnp.linspace(1.0, 0.0, fade_n, dtype=out.dtype)
         outs.append(out.at[L - fade_n:].multiply(fade))
     # 16-bit PCM readback: the delivered format is 16-bit anyway, and it
     # halves the (bandwidth-bound) device->host transfer

@@ -417,3 +417,19 @@ def test_xfade_and_unfold_device_matches_host(rng):
         assert dev.shape == host.shape
         np.testing.assert_allclose(dev, host.astype(np.float32),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_short_output_fades_to_zero(wavernn_pair):
+    """Sub-fade-length outputs compress the whole 20-hop ramp into their
+    length: the tail must still end at exactly zero gain (VERDICT r2 #9
+    edge case; reference wavernn/model.py:325-327)."""
+    import jax
+    _, params = wavernn_pair
+    cfg = WaveRNNConfig()
+    # 8 frames -> 7*275 = 1925 samples < 20*275 fade length
+    mel = np.random.default_rng(8).random((1, 80, 8), dtype=np.float32)
+    for batched in (True, False):
+        wav = WR.generate(params, mel, cfg, key=jax.random.PRNGKey(1),
+                          batched=batched, target=1100, overlap=275)
+        assert wav.shape == (7 * cfg.hop_length,)
+        assert wav[-1] == 0.0
