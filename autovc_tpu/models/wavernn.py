@@ -687,11 +687,13 @@ def generate(params: Params, mel: np.ndarray,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "target", "overlap", "fast_math",
-                                    "unroll", "backend", "slab_rows"))
+                                    "unroll", "backend", "slab_rows",
+                                    "interpret"))
 def _generate_many_program(params: Params, mels: tuple, key,
                            cfg: WaveRNNConfig, target: int, overlap: int,
                            fast_math: bool, unroll: int, backend: str,
-                           slab_rows: int | None = None):
+                           slab_rows: int | None = None,
+                           interpret: bool = False):
     """Whole-serve-pass program: per-utterance conditioning, the union
     slab sampling loop, per-utterance unfold/trim/fade, one int16 stack."""
     prep = (_prepare_frame_conditioning if backend == "pallas"
@@ -734,7 +736,8 @@ def _generate_many_program(params: Params, mels: tuple, key,
         if backend == "pallas":
             from autovc_tpu.ops import wavernn_pallas
             out = wavernn_pallas.generate_rows_pallas(params, c, a, sk, cfg,
-                                                      fast_math)
+                                                      fast_math,
+                                                      interpret=interpret)
         else:
             out = _generate_scan(params, c, a, sk, cfg, fast_math, unroll)
         slab_outs.append(out)
@@ -748,7 +751,8 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
                   key=None, target: int | None = None,
                   overlap: int | None = None, fast_math: bool = True,
                   unroll: int = 4, backend: str = "auto",
-                  block: bool = True, slab_rows: int | None = None):
+                  block: bool = True, slab_rows: int | None = None,
+                  interpret: bool = False):
     """Vocode SEVERAL utterances in one pass (production batch serving).
 
     Single-utterance generation underfills the MXU: ~14 folds of a 7 s clip
@@ -794,7 +798,7 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
         backend = "xla"  # rows kernel needs frame-aligned fold geometry
     flat = _generate_many_program(
         params, mels, key, cfg, target, overlap, fast_math, unroll, backend,
-        slab_rows)
+        slab_rows, interpret)
 
     def collect():
         host = np.asarray(flat).astype(np.float32) / 32767.0

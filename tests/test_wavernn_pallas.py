@@ -164,3 +164,21 @@ def test_fold_rows_is_frame_image_of_sample_fold():
     np.testing.assert_array_equal(rows_m[1, :J], rows_f[0, t_f:t_f + J])
     # leading margin of row 0 is zero-filled (out of sequence range)
     assert np.all(rows_m[0, :J] == 0)
+
+
+def test_generate_many_backend_equivalence(setup):
+    """Batch serving: the pallas slab path (frame-rate rows, in-kernel
+    upsample) reproduces the xla slab path through generate_many (same
+    key + slab geometry -> identical per-slab noise, f32)."""
+    cfg, params, _, _ = setup
+    rng = np.random.default_rng(9)
+    mels = [rng.random((cfg.feat_dims, F), dtype=np.float32)
+            for F in (14, 23)]
+    kw = dict(cfg=cfg, key=jax.random.PRNGKey(4), target=16, overlap=8,
+              fast_math=False, slab_rows=8)
+    ref = WR.generate_many(params, mels, unroll=1, backend="xla", **kw)
+    out = WR.generate_many(params, mels, backend="pallas", interpret=True,
+                           **kw)
+    assert [len(o) for o in out] == [len(r) for r in ref]
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(o, r, rtol=1e-3, atol=2e-4)
