@@ -119,6 +119,37 @@ def make_sharded_se_step(cfg: SpeakerEncoderConfig,
                                   {"loss": repl, "grad_norm": repl}))
 
 
+def make_sharded_vocoder_step(cfg, tx: optax.GradientTransformation,
+                              mesh: Mesh, params_example,
+                              precision: str = "bf16") -> Callable:
+    """DP-sharded WaveRNN train step: batch axis over 'data'; the MelResNet
+    BatchNorm statistics become global-batch (sync-BN) for free under
+    GSPMD, exactly as in :func:`make_sharded_ae_step`."""
+    from autovc_tpu.models import wavernn as WR
+    from autovc_tpu.ops import precision as PREC
+
+    p_shard = shd.param_shardings(params_example, mesh)
+    repl = shd.replicated(mesh)
+    batch = NamedSharding(mesh, P("data"))
+
+    def step(params, opt_state, x_in, y, mels):
+        def loss_fn(p):
+            return WR.loss(p, x_in, y, mels, cfg, train=True)
+
+        with PREC.compute(precision):
+            (loss_val, params_bn), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+        aux = {"loss": loss_val, "grad_norm": optax.global_norm(grads)}
+        updates, opt_state = tx.update(grads, opt_state, params_bn)
+        return optax.apply_updates(params_bn, updates), opt_state, aux
+
+    opt_shard = shd.tree_shardings_like(tx.init(params_example), repl)
+    return jax.jit(step,
+                   in_shardings=(p_shard, opt_shard, batch, batch, batch),
+                   out_shardings=(p_shard, opt_shard,
+                                  {"loss": repl, "grad_norm": repl}))
+
+
 def make_sharded_convert(cfg: AutoEncoderConfig, mesh: Mesh,
                          params_example, overlap: float = 0.5) -> Callable:
     """Chunk-sharded conversion: the sequence is split into overlapped

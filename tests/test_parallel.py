@@ -158,3 +158,44 @@ def test_pad_batch_to():
     assert padded.shape == (8, 3)
     assert n == 5
     assert padded[5:].sum() == 0
+
+
+def test_sharded_vocoder_step_matches_single_device():
+    from autovc_tpu.config import WaveRNNConfig
+    from autovc_tpu.models import wavernn as WR
+
+    mesh = shd.make_mesh()
+    cfg = WaveRNNConfig().with_overrides(res_blocks=2, rnn_dims=32,
+                                         fc_dims=32, compute_dims=16,
+                                         res_out_dims=16,
+                                         upsample_factors=(2, 2))
+    params = WR.init(jax.random.PRNGKey(2), cfg)
+    tx = schedules.make_optimizer(
+        SpeakerEncoderConfig().optimizer, steps_per_epoch=10)
+    rng = np.random.default_rng(0)
+    B, F = 8, 2 + 2 * cfg.pad
+    T = 2 * cfg.total_scale
+    mels = rng.random((B, 80, F), dtype=np.float32)
+    x_in = rng.uniform(-1, 1, (B, T)).astype(np.float32)
+    y = np.roll(x_in, -1, axis=1)
+
+    step1 = base_loop.make_vocoder_step(cfg, tx, precision="f32")
+    p1, _, aux1 = step1(params, tx.init(params), x_in, y, mels)
+
+    stepN = psteps.make_sharded_vocoder_step(cfg, tx, mesh, params,
+                                             precision="f32")
+    p_sh = shd.shard_params(params, mesh)
+    opt0 = jax.device_put(tx.init(params),
+                          shd.tree_shardings_like(tx.init(params),
+                                                  shd.replicated(mesh)))
+    pN, _, auxN = stepN(p_sh, opt0,
+                        psteps.shard_batch(x_in, mesh),
+                        psteps.shard_batch(y, mesh),
+                        psteps.shard_batch(mels, mesh))
+    assert float(aux1["loss"]) == pytest.approx(float(auxN["loss"]),
+                                                rel=2e-5)
+    lr = SpeakerEncoderConfig().optimizer.lr
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(pN)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3 * lr)
