@@ -93,14 +93,19 @@ def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
                       on_epoch_end: Callable | None = None,
                       start_step: int = 0, resume: bool = False,
                       opt_overrides: Dict[str, Any] | None = None,
-                      precision: str | None = None):
+                      precision: str | None = None, mesh=None):
     """AutoVC training (auto_encoder/model.py:218-361).  Returns
     (params, ema_params, info-dict).
 
     ``resume=True`` restores params + EMA + optimizer state + step from the
     newest checkpoint in ``save_dir`` — exact preemption recovery, which the
     reference only approximates (it saves optimizer state but never restores
-    it, auto_encoder/model.py:149-156)."""
+    it, auto_encoder/model.py:149-156).
+
+    ``mesh``: a `jax.sharding.Mesh` makes the loop data-parallel — the step
+    is the GSPMD-sharded variant (`parallel.steps.make_sharded_ae_step`,
+    global batch stats / global gradients; batch_size must divide by the
+    'data' axis size) and every batch is sharded onto the mesh."""
     lc, oc = cfg.learn, cfg.optimizer
     if opt_overrides:
         oc = oc.with_overrides(**opt_overrides)
@@ -135,8 +140,27 @@ def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
             if verbose:
                 print(f"Resumed from '{latest}' at step {start_step}")
 
-    step_fn = make_ae_step(cfg, tx, ema_decay, precision=precision,
-                           with_grads=True)
+    if mesh is not None:
+        from autovc_tpu.parallel import sharding as shd
+        from autovc_tpu.parallel import steps as psteps
+        assert batch_size % mesh.shape["data"] == 0, \
+            f"batch_size {batch_size} must divide mesh 'data' axis " \
+            f"{mesh.shape['data']}"
+        step_fn0 = psteps.make_sharded_ae_step(
+            cfg, tx, ema_decay, mesh, params, precision=precision)
+        params = shd.shard_params(params, mesh)
+        ema = shd.shard_params(jax.tree_util.tree_map(np.asarray, ema),
+                               mesh)
+        opt_state = jax.device_put(
+            opt_state, shd.tree_shardings_like(opt_state,
+                                               shd.replicated(mesh)))
+
+        def step_fn(p, o, e, x, c):
+            return step_fn0(p, o, e, psteps.shard_batch(x, mesh),
+                            psteps.shard_batch(c, mesh))
+    else:
+        step_fn = make_ae_step(cfg, tx, ema_decay, precision=precision,
+                               with_grads=True)
 
     n_total = n_epochs * steps_per_epoch
     step = start_step
@@ -243,12 +267,16 @@ def train_speaker_encoder(params, dataset, cfg: SpeakerEncoderConfig,
                           logger=None, verbose: bool = True,
                           speakers: Dict[str, np.ndarray] | None = None,
                           start_step: int = 0, resume: bool = False,
-                          opt_overrides: Dict[str, Any] | None = None):
+                          opt_overrides: Dict[str, Any] | None = None,
+                          mesh=None):
     """GE2E training (speaker_encoder/model.py:276-408).
 
     ``resume=True`` restores params + optimizer state + step + the speaker
     registry from the newest checkpoint in ``save_dir`` — the same exact
-    preemption recovery as :func:`train_autoencoder`."""
+    preemption recovery as :func:`train_autoencoder`.
+
+    ``mesh``: data-parallel loop over the speaker axis of the (S, U, T, M)
+    block (`parallel.steps.make_sharded_se_step`)."""
     lc, oc = cfg.learn, cfg.optimizer
     if opt_overrides:
         oc = oc.with_overrides(**opt_overrides)
@@ -278,7 +306,19 @@ def train_speaker_encoder(params, dataset, cfg: SpeakerEncoderConfig,
             if verbose:
                 print(f"Resumed from '{latest}' at step {start_step}")
 
-    step_fn = make_se_step(cfg, tx)
+    if mesh is not None:
+        from autovc_tpu.parallel import sharding as shd
+        from autovc_tpu.parallel import steps as psteps
+        step_fn0 = psteps.make_sharded_se_step(cfg, tx, mesh, params)
+        params = shd.shard_params(params, mesh)
+        opt_state = jax.device_put(
+            opt_state, shd.tree_shardings_like(opt_state,
+                                               shd.replicated(mesh)))
+
+        def step_fn(p, o, block):
+            return step_fn0(p, o, psteps.shard_batch(block, mesh))
+    else:
+        step_fn = make_se_step(cfg, tx)
 
     n_total = n_epochs * steps_per_epoch
     step = start_step
@@ -375,7 +415,7 @@ def train_vocoder(params, dataset, cfg: WaveRNNConfig,
                   model_name: str | None = None,
                   save_dir: str | None = None, logger=None,
                   verbose: bool = True, start_step: int = 0,
-                  resume: bool = False):
+                  resume: bool = False, mesh=None):
     from autovc_tpu.config import OptimizerConfig
     oc = OptimizerConfig(lr=lr, lr_scheduler="constant", grad_clip_norm=4.0)
     tx = schedules.make_optimizer(oc, steps_per_epoch)
@@ -395,7 +435,21 @@ def train_vocoder(params, dataset, cfg: WaveRNNConfig,
             if verbose:
                 print(f"Resumed from '{latest}' at step {start_step}")
 
-    step_fn = make_vocoder_step(cfg, tx)
+    if mesh is not None:
+        from autovc_tpu.parallel import sharding as shd
+        from autovc_tpu.parallel import steps as psteps
+        step_fn0 = psteps.make_sharded_vocoder_step(cfg, tx, mesh, params)
+        params = shd.shard_params(params, mesh)
+        opt_state = jax.device_put(
+            opt_state, shd.tree_shardings_like(opt_state,
+                                               shd.replicated(mesh)))
+
+        def step_fn(p, o, x_in, y, mels):
+            return step_fn0(p, o, psteps.shard_batch(x_in, mesh),
+                            psteps.shard_batch(y, mesh),
+                            psteps.shard_batch(mels, mesh))
+    else:
+        step_fn = make_vocoder_step(cfg, tx)
     step = start_step
     n_total = n_epochs * steps_per_epoch
     for epoch in range(1, n_epochs + 1):
