@@ -80,8 +80,11 @@ def test_sharded_ae_step_matches_single_device(mesh_shape, axes):
                                                       shd.replicated(mesh)))
         pN, oN, eN, auxN = stepN(p_sharded, opt0, ema0, xs, cs)
 
+    # rel 1e-4: fusion differences between the two compiled programs (the
+    # sharded one carries GSPMD reshards; both carry the global_norm
+    # reduction) reorder f32 sums at the ~5e-5 level
     assert float(aux1["loss"]) == pytest.approx(float(auxN["loss"]),
-                                                rel=2e-5)
+                                                rel=1e-4)
     # Post-Adam params: at step 1 Adam normalises each grad to ~±lr, so
     # near-zero grads can flip sign under reduction reordering; bound the
     # drift by 3*lr rather than expecting bitwise equality.

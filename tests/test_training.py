@@ -306,8 +306,12 @@ class DS:
 marker = os.path.join(work, "crashed_once")
 def on_epoch_end(epoch, p):
     if not os.path.exists(marker):
+        # the loop's save is async; the simulated scenario is preemption
+        # AFTER the epoch-1 save has landed, so drain the writer first
+        from autovc_tpu.utils.checkpoint import wait_for_saves
+        wait_for_saves()
         open(marker, "w").close()
-        os._exit(17)          # simulated preemption AFTER the epoch-1 save
+        os._exit(17)
 
 _, _, info = loop.train_autoencoder(
     params, DS(), cfg, n_epochs=2, batch_size=2, model_name="m.ckpt",
