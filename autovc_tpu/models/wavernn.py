@@ -571,6 +571,31 @@ def _fold_rows(x: jnp.ndarray, target_f: int, overlap_f: int, margin: int):
                       for s in starts])
 
 
+def _pallas_max_rows(cfg: WaveRNNConfig, fpf: int,
+                     fast_math: bool = True,
+                     budget: int = 100 * 1024 * 1024) -> int:
+    """Largest fold-row count one generate_rows_pallas call can hold.
+
+    The rows kernel keeps weights + per-row frame conditioning + noise
+    buffers + the output in VMEM, so its footprint scales with rows x
+    frames; callers slab (or fall back to the XLA scan) beyond this."""
+    from autovc_tpu.utils.roofline import _band_reach
+    rd, fc, S = cfg.rnn_dims, cfg.fc_dims, cfg.total_scale
+    cdt = 2 if fast_math else 4
+    J = _band_reach(cfg)
+    weights = (4 * rd * 3 * rd + rd * fc + fc * fc + fc * 128) * cdt
+    per_row = (fpf * (4 * rd + 2 * fc) * cdt          # fblk
+               + (fpf + 2 * J) * rd * 4               # mf
+               + 2 * S * 128 * cdt                    # noise double-buffer
+               + fpf * S * 4)                         # output
+    return max(0, (budget - weights) // per_row)
+
+
+def _pallas_ok(cfg: WaveRNNConfig, interpret: bool) -> bool:
+    """Hardware-kernel geometry preconditions (beyond fold alignment)."""
+    return interpret or (cfg.rnn_dims % 128 == 0 and cfg.fc_dims % 128 == 0)
+
+
 def _prepare_frame_conditioning(params: Params, mel: jnp.ndarray,
                                 cfg: WaveRNNConfig, target: int,
                                 overlap: int, batched: bool):
@@ -623,9 +648,30 @@ def _generate_program(params: Params, mel: jnp.ndarray, key,
             mel_rows = jnp.pad(mel_rows, pad_rows)
             aux_rows = jnp.pad(aux_rows, pad_rows)
         from autovc_tpu.ops import wavernn_pallas
-        samples = wavernn_pallas.generate_rows_pallas(
-            params, mel_rows, aux_rows, key, cfg, fast_math,
-            interpret=interpret)
+        fpf = aux_rows.shape[1]
+        max_rows = max(8, (_pallas_max_rows(cfg, fpf, fast_math) // 8) * 8)
+        if bucket <= max_rows:
+            samples = wavernn_pallas.generate_rows_pallas(
+                params, mel_rows, aux_rows, key, cfg, fast_math,
+                interpret=interpret)
+        else:
+            # long audio: the kernel's VMEM footprint scales with rows x
+            # frames, so tile the fold rows across several kernel passes
+            # (per-pass keys; each pass is still one fused program)
+            if bucket % max_rows:
+                extra = -(-bucket // max_rows) * max_rows - bucket
+                mel_rows = jnp.pad(mel_rows,
+                                   ((0, extra), (0, 0), (0, 0)))
+                aux_rows = jnp.pad(aux_rows,
+                                   ((0, extra), (0, 0), (0, 0)))
+            outs = []
+            for s in range(0, mel_rows.shape[0], max_rows):
+                key, sk = jax.random.split(key)
+                outs.append(wavernn_pallas.generate_rows_pallas(
+                    params, mel_rows[s:s + max_rows],
+                    aux_rows[s:s + max_rows], sk, cfg, fast_math,
+                    interpret=interpret))
+            samples = jnp.concatenate(outs, axis=0)
     else:
         cond, aux = _prepare_conditioning(params, mel, cfg, target, overlap,
                                           batched)
@@ -675,9 +721,15 @@ def generate(params: Params, mel: np.ndarray,
                                   overlap)
     elif target is None:
         target = g.target
-    if backend == "pallas" and batched and (
-            target % cfg.total_scale or overlap % cfg.total_scale):
-        backend = "xla"  # rows kernel needs frame-aligned fold geometry
+    if backend == "pallas":
+        if not _pallas_ok(cfg, interpret):
+            backend = "xla"  # hardware kernel needs rd/fc % 128 == 0
+        elif batched and (target % cfg.total_scale
+                          or overlap % cfg.total_scale):
+            backend = "xla"  # rows kernel needs frame-aligned geometry
+        elif not batched and _pallas_max_rows(
+                cfg, int(mel.shape[-1]), fast_math) < 1:
+            backend = "xla"  # unbatched long audio exceeds kernel VMEM
     output = _generate_program(params, mel, key, cfg, target, overlap,
                                batched, mu_law, fast_math, unroll, backend,
                                interpret)
@@ -720,6 +772,11 @@ def _generate_many_program(params: Params, mels: tuple, key,
     if not (slab_rows > 0 and slab_rows % 8 == 0):
         raise ValueError(f"slab_rows must be a positive multiple of 8, "
                          f"got {slab_rows}")
+    if backend == "pallas":
+        # cap by the rows kernel's VMEM footprint (scales with fold length)
+        fpf = (target + 2 * overlap) // cfg.total_scale
+        slab_rows = min(slab_rows, max(
+            8, (_pallas_max_rows(cfg, fpf, fast_math) // 8) * 8))
     SLAB = min(slab_rows, -(-total_folds // 8) * 8)
     n_slabs = max(1, -(-total_folds // SLAB))
     padded = n_slabs * SLAB
@@ -793,9 +850,10 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
         target = auto_fold_target(sum(wave_lens), overlap)
     elif target is None:
         target = g.target
-    if backend == "pallas" and (target % cfg.total_scale
-                                or overlap % cfg.total_scale):
-        backend = "xla"  # rows kernel needs frame-aligned fold geometry
+    if backend == "pallas" and (
+            not _pallas_ok(cfg, interpret)
+            or target % cfg.total_scale or overlap % cfg.total_scale):
+        backend = "xla"  # rows kernel needs 128-dims + aligned geometry
     flat = _generate_many_program(
         params, mels, key, cfg, target, overlap, fast_math, unroll, backend,
         slab_rows, interpret)

@@ -173,40 +173,39 @@ def make_sharded_convert(cfg: AutoEncoderConfig, mesh: Mesh,
                    out_shardings=repl)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "overlap", "valid_rows",
-                                             "precision"))
-def chunk_sharded_convert(params, chunks, c_org, c_trg, cfg,
-                          overlap: float = 0.5, valid_rows: int | None = None,
-                          precision: str = "f32"):
+@functools.partial(jax.jit, static_argnames=("cfg", "overlap", "precision"))
+def chunk_sharded_convert(params, chunks, c_org, c_trg, valid_rows, cfg,
+                          overlap: float = 0.5, precision: str = "f32"):
     """Chunk-DP (sequence-parallel) conversion with padded rows.
 
     Like :func:`make_sharded_convert` but a module-level jit that tolerates
     zero-padded chunk rows: the forward pass runs on all rows (sharded on
     'data' via the arrays' committed shardings), the mean overlap-add merge
     consumes only the first ``valid_rows`` (pad rows point at the merge's
-    trash window), so any chunk count can be padded up to a device-count
-    multiple.  This is the public ``VoiceConverter.convert(...,
-    parallel="chunks")`` backend.
+    trash window).  ``valid_rows`` is DATA, not shape: one compiled program
+    serves every chunk count that pads to the same (M_padded, ., .) shape.
+    This is the public ``VoiceConverter.convert(..., parallel="chunks")``
+    backend.
 
     Args:
       chunks: (M_padded, n_mels, N) mel slices, rows >= valid_rows are pad.
-      c_org/c_trg: (1, dim_emb).
-    Returns: (n_mels, N + (valid_rows-1)*step) merged converted mel.
+      c_org/c_trg: (1, dim_emb); valid_rows: int scalar (traced).
+    Returns: (n_mels, N + (M_padded-1)*step) merged mel on the PADDED
+      timeline — slice to N + (valid_rows-1)*step frames on the caller.
     """
     from autovc_tpu.models import autoencoder as AE
     from autovc_tpu.ops import precision as PREC
 
     M, n_mels, N = chunks.shape
-    V = M if valid_rows is None else valid_rows
     c_org_b = jnp.broadcast_to(c_org, (M, c_org.shape[-1]))
     c_trg_b = jnp.broadcast_to(c_trg, (M, c_trg.shape[-1]))
     with PREC.compute(PREC.resolve(precision)):
         _, mel_post, _, _ = AE.forward(params, chunks, c_org_b, c_trg_b,
                                        cfg, train=False)
     step = int(N * (1 - overlap))
-    total = N + (V - 1) * step
+    total = N + (M - 1) * step
     rows = jnp.arange(M, dtype=jnp.int32)
-    offsets = jnp.where(rows < V, rows * step, total)
+    offsets = jnp.where(rows < valid_rows, rows * step, total)
     return AE.merge_rows(mel_post, offsets, total)
 
 

@@ -159,8 +159,12 @@ def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
             return step_fn0(p, o, e, psteps.shard_batch(x, mesh),
                             psteps.shard_batch(c, mesh))
     else:
+        # materialise the grad tree in aux only when some logger will
+        # histogram it (the scalar grad_norm series is always present)
+        want_grads = (logger is not None
+                      and hasattr(logger, "log_tree_histograms"))
         step_fn = make_ae_step(cfg, tx, ema_decay, precision=precision,
-                               with_grads=True)
+                               with_grads=want_grads)
 
     n_total = n_epochs * steps_per_epoch
     step = start_step

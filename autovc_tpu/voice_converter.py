@@ -244,8 +244,11 @@ class VoiceConverter:
                 chunks = psteps.shard_batch(chunks, mesh)
                 post_mel = psteps.chunk_sharded_convert(
                     ae_params, chunks, jnp.asarray(c_source),
-                    jnp.asarray(c_target), ae_cfg, overlap, valid_rows=M,
+                    jnp.asarray(c_target), jnp.int32(M), ae_cfg, overlap,
                     precision=self.ae_precision)
+                # padded-timeline output; keep the true-utterance frames
+                N = chunks.shape[-1]
+                post_mel = post_mel[:, :N + (M - 1) * int(N * (1 - overlap))]
             else:
                 post_mel = AEm.batch_forward_jit(
                     ae_params, chunks, c_source, c_target, ae_cfg, overlap,
@@ -383,7 +386,13 @@ class VoiceConverter:
                 wave_len = (frames - 1) * wr_cfg.hop_length
                 w = WRm.xfade_and_unfold(np.asarray(y, np.float64),
                                          g.overlap)[:wave_len]
-                wavs.append(w.astype(np.float32))
+                w = w.astype(np.float32)
+                # 20-hop tail fade to zero, same as every other vocoder
+                # finish path (reference wavernn/model.py:325-327)
+                fade_n = min(20 * wr_cfg.hop_length, len(w))
+                w[len(w) - fade_n:] *= np.linspace(1.0, 0.0, fade_n,
+                                                   dtype=np.float32)
+                wavs.append(w)
         elif parallel is not None:
             raise ValueError(f"parallel must be None or 'pipeline', "
                              f"got {parallel!r}")

@@ -60,10 +60,20 @@ def test_chunk_sharded_convert_pads_and_matches():
     padded = np.concatenate([chunks, np.zeros((3, 80, N), np.float32)])
     sh = psteps.shard_batch(padded, mesh)
     out = np.asarray(psteps.chunk_sharded_convert(
-        params, sh, jnp.asarray(c), jnp.asarray(c), CFG, 0.5,
-        valid_rows=M))
+        params, sh, jnp.asarray(c), jnp.asarray(c), jnp.int32(M), CFG,
+        0.5))
+    step = N // 2
+    out = out[:, :N + (M - 1) * step]     # trim the padded timeline
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+    # valid_rows is data, not shape: a different count through the SAME
+    # padded shape reuses the compiled program
+    out2 = np.asarray(psteps.chunk_sharded_convert(
+        params, sh, jnp.asarray(c), jnp.asarray(c), jnp.int32(M - 1), CFG,
+        0.5))[:, :N + (M - 2) * step]
+    ref2 = np.asarray(AE.batch_forward(params, chunks[:M - 1], c, c, CFG,
+                                       0.5))
+    np.testing.assert_allclose(out2, ref2, rtol=1e-5, atol=1e-6)
 
 
 @pytest.fixture(scope="module")

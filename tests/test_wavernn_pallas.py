@@ -182,3 +182,30 @@ def test_generate_many_backend_equivalence(setup):
     assert [len(o) for o in out] == [len(r) for r in ref]
     for o, r in zip(out, ref):
         np.testing.assert_allclose(o, r, rtol=1e-3, atol=2e-4)
+
+
+def test_long_audio_slabs_kernel_passes(setup, monkeypatch):
+    """When the fold count exceeds the kernel's VMEM row budget, the
+    single-utterance program tiles the rows over several kernel passes
+    (regression: r3's first rows kernel made ALL conditioning VMEM-resident
+    with no tiling, so long audio failed to compile)."""
+    cfg, params, _, _ = setup
+    monkeypatch.setattr(WR, "_pallas_max_rows", lambda *a, **k: 8)
+    mel = np.random.default_rng(11).random((1, cfg.feat_dims, 120),
+                                           dtype=np.float32)
+    # target 8, overlap 4 -> ~39 fold rows > the forced 8-row budget
+    wav = WR.generate(params, mel, cfg, key=jax.random.PRNGKey(1),
+                      batched=True, target=8, overlap=4,
+                      backend="pallas", interpret=True)
+    assert wav.shape == (119 * cfg.hop_length,)
+    assert np.all(np.isfinite(wav))
+    assert np.sqrt(np.mean(wav ** 2)) > 1e-4
+
+
+def test_unaligned_dims_fall_back_to_xla():
+    """rd/fc not multiples of 128 -> hardware pallas backend silently
+    falls back to the XLA scan instead of asserting mid-conversion."""
+    cfg = SMALL  # rd=64 — unsupported by the hardware kernel
+    assert not WR._pallas_ok(cfg, interpret=False)
+    assert WR._pallas_ok(cfg, interpret=True)
+    assert WR._pallas_ok(WaveRNNConfig(), interpret=False)
