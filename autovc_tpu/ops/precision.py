@@ -67,6 +67,65 @@ def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
+# Recurrent-step matmuls are on the scan's sequential dependency chain, so
+# their cost is LATENCY, not throughput — and the bf16 operand casts sit on
+# that chain.  Measured on TPU v5e (decoder LSTM2, H=1024; encoder BLSTM,
+# H=32):
+#   * H >= 256 and rows >= 2: bf16 wins big (rows=3: 1.9 ms vs 11.5 ms f32 —
+#     f32/HIGHEST pays 6 MXU passes over a 16 MB weight working set).
+#   * rows == 1: XLA lowers f32 to a fast matvec; bf16 unpack overhead loses
+#     (2.31 ms f32 vs 2.72 ms bf16).
+#   * H < 256 (tiny gate widths): f32 wins at every row count measured — the
+#     matmul never fills an MXU pass, casts only add chain latency.
+# The bf16 policy therefore keeps the recurrent dot in f32/HIGHEST in the
+# latter two regimes — strictly MORE accurate than the bf16 contract, so
+# policy guarantees hold.  Time-parallel (hoisted) projections and convs are
+# unaffected; they always follow the policy.
+REC_BF16_MIN_HIDDEN = 256
+REC_BF16_MIN_ROWS = 2
+
+
+def _rec_use_bf16(rows: int, hidden: int) -> bool:
+    return (mode() == "bf16" and hidden >= REC_BF16_MIN_HIDDEN
+            and rows >= REC_BF16_MIN_ROWS)
+
+
+def rec_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Recurrent-step matmul (B, H) x (H, G): policy-routed with the
+    small-shape f32 override (see REC_BF16_MIN_HIDDEN/ROWS)."""
+    if _rec_use_bf16(a.shape[0], a.shape[1]):
+        return jnp.matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def rec_bdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Recurrent-step batched matmul (G, B, H) x (G, H, K) with the
+    small-shape f32 override (see REC_BF16_MIN_HIDDEN/ROWS)."""
+    if _rec_use_bf16(a.shape[0] * a.shape[1], a.shape[2]):
+        return jnp.einsum("gbh,ghk->gbk", a.astype(jnp.bfloat16),
+                          b.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum("gbh,ghk->gbk", a, b,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def bdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Policy-routed BATCHED matmul: (G, B, H) x (G, H, K) -> (G, B, K).
+
+    One einsum dispatch carries G independent small matmuls (e.g. the two
+    directions of a BLSTM layer's recurrent step): on TPU the per-step
+    latency of a scan body is dominated by per-op overhead at small row
+    counts, so fusing G row-starved matmuls into one batched op roughly
+    divides that overhead by G."""
+    if mode() == "bf16":
+        return jnp.einsum("gbh,ghk->gbk", a.astype(jnp.bfloat16),
+                          b.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum("gbh,ghk->gbk", a, b,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def conv_operands(x: jnp.ndarray, w: jnp.ndarray):
     """Cast conv operands per policy; pair with :func:`conv_kwargs` and
     :func:`conv_output`."""
