@@ -378,8 +378,10 @@ def _round_up(x: int, m: int) -> int:
 # in ONE pass (the scan cost is sequential-step dominated, so bigger slabs
 # keep getting cheaper per row: 283/235/197 us/row at 32/64/256 rows, v5e);
 # larger workloads tile with the biggest slab.  Bounded set -> bounded
-# compile-cache variants.
-_SLAB_LADDER = (32, 64, 128, 256)
+# compile-cache variants.  The small entries matter for latency: a 16-row
+# workload through a 32-row slab pays ~1.5x the AE time (8.3 vs 5.4 ms
+# measured on the 8-utterance sample set).
+_SLAB_LADDER = (8, 16, 32, 64, 128, 256)
 
 
 def _pick_slab(rows: int) -> int:

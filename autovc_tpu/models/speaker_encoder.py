@@ -45,8 +45,12 @@ def init(key, cfg: SpeakerEncoderConfig = SpeakerEncoderConfig()) -> Params:
 
 
 def forward(params: Params, utterances: jnp.ndarray) -> jnp.ndarray:
-    """(B, n_frames, n_mels) -> L2-normalised embeddings (B, emb)."""
-    _, (h, _), _ = R.lstm_stack(params["lstm"], utterances)
+    """(B, n_frames, n_mels) -> L2-normalised embeddings (B, emb).
+
+    The 3-layer recurrence runs as ONE pipelined scan (T+2 sequential
+    rounds instead of 3T; the 3x256 stack's fused weight block is ~5 MB,
+    comfortably VMEM-resident — ops/rnn.py:lstm_stack_skewed)."""
+    _, (h, _), _ = R.lstm_stack_skewed(params["lstm"], utterances)
     raw = jax.nn.relu(C.linear(params["linear"], h))
     return raw / jnp.linalg.norm(raw, axis=-1, keepdims=True)
 

@@ -181,6 +181,78 @@ def bilstm_stack(params: Sequence[Params], x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def lstm_stack_skewed(params: Sequence[Params], x: jnp.ndarray):
+    """Multi-layer LSTM with all layers fused into ONE pipelined scan.
+
+    Layer l at global step s processes its timestep t = s - l (a pipeline
+    skew), so the whole L-layer stack runs in T + L - 1 sequential rounds
+    instead of L separate T-round scans.  Each round performs ONE batched
+    matmul carrying every layer's recurrent step plus the in-scan input
+    projections of layers >= 1 — (2L-1, B, H) x (2L-1, H, 4H) — so the
+    per-round launch/latency overhead is paid once for the stack.
+
+    Requirements: all layers share hidden size H and layers >= 1 take H-dim
+    inputs (true for any `init_lstm_stack` stack).  The fused weight block
+    (~(2L-1) * H * 4H) must fit VMEM — right for the speaker encoder
+    (3 x 256: 5 MB f32), wrong for the AutoVC decoder LSTM2 (2 x 1024:
+    24 MB bf16 — use :func:`lstm_stack`, whose per-layer scans keep one
+    8 MB weight resident at a time).
+
+    Same return contract as :func:`lstm_stack`: (outputs, last-layer (h, c),
+    per-layer final hidden states (L, B, H)).  Numerics are identical (the
+    batched matmul computes each layer's gate matmul as its own batch
+    entry); masking freezes a layer's state outside its valid time range.
+    """
+    L = len(params)
+    if L == 1:
+        return lstm_stack(params, x)
+    B, T, _ = x.shape
+    H = params[0]["w_hh"].shape[0]
+    for p in params[1:]:
+        assert p["w_ih"].shape == (H, 4 * H) and p["w_hh"].shape[0] == H, \
+            "lstm_stack_skewed needs uniform hidden size"
+
+    # Hoisted input projection for layer 0 over all T steps, padded with
+    # L-1 trailing drain rounds.
+    xp0 = _dot(x, params[0]["w_ih"]) + params[0]["b_ih"] + params[0]["b_hh"]
+    xp0 = jnp.pad(jnp.swapaxes(xp0, 0, 1), ((0, L - 1), (0, 0), (0, 0)))
+
+    w_big = jnp.concatenate([
+        jnp.stack([p["w_hh"] for p in params]),          # (L, H, 4H)
+        jnp.stack([p["w_ih"] for p in params[1:]]),      # (L-1, H, 4H)
+    ])                                                   # (2L-1, H, 4H)
+    b_rest = jnp.stack([p["b_ih"] + p["b_hh"] for p in params[1:]])
+
+    h0 = jnp.zeros((L, B, H), x.dtype)
+    c0 = jnp.zeros((L, B, H), x.dtype)
+    steps = jnp.arange(T + L - 1)
+
+    def step(carry, inp):
+        h, c, y_prev = carry
+        xp0_t, s = inp
+        big = PREC.rec_bdot(jnp.concatenate([h, y_prev[:-1]]), w_big)
+        hp, xp_in = big[:L], big[L:]
+        gates = jnp.concatenate([
+            (xp0_t + hp[0])[None],
+            xp_in + b_rest[:, None, :] + hp[1:],
+        ])                                               # (L, B, 4H)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        # layer l is live at global step s iff 0 <= s - l < T
+        t_l = s - jnp.arange(L)
+        live = ((t_l >= 0) & (t_l < T))[:, None, None]
+        h = jnp.where(live, h_new, h)
+        c = jnp.where(live, c_new, c)
+        y_prev = jnp.where(live, h_new, y_prev)
+        return (h, c, y_prev), h[L - 1]
+
+    (h, c, _), ys = jax.lax.scan(step, (h0, c0, h0), (xp0, steps),
+                                 unroll=_scan_unroll())
+    outs = jnp.swapaxes(ys[L - 1:], 0, 1)                # (B, T, H)
+    return outs, (h[L - 1], c[L - 1]), h
+
+
 # ---------------------------------------------------------------------------
 # GRU
 # ---------------------------------------------------------------------------

@@ -59,7 +59,7 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(noise_hbm,          # (fpf, S, Bp, 128) cdt, HBM
             mf_ref,             # (Fq, Bp, rd) f32: projected mel frames
             fblk_ref,           # (fpf, Bp, rd+3rd+2fc) cdt: frame features
-            krep_ref,           # (S, W*rd) f32: per-phase banded weights
+            ktab_ref,           # (W, S) f32 SMEM: per-(tap, phase) scalars
             w_x_ref,                # (1, rd) f32
             w_ih1_ref, w_hh1_ref,   # (rd, 3rd) cdt
             w_ih2x_ref, w_hh2_ref,  # (rd, 3rd) cdt
@@ -110,12 +110,16 @@ def _kernel(noise_hbm,          # (fpf, S, Bp, 128) cdt, HBM
 
         def step(p, carry):
             x, h1, h2 = carry
-            krow = krep_ref[pl.ds(p, 1), :]            # (1, W*rd) f32
             # banded frame->sample upsampling: the only per-sample
-            # conditioning work — W vector FMAs on the VPU
+            # conditioning work — W scalar-times-vector FMAs on the VPU.
+            # The per-phase weight is CONSTANT across the rd lanes (it is
+            # the composite impulse response sampled at (tap, phase)), so
+            # it reads as a scalar from SMEM — a dynamically-sliced VMEM
+            # row would need a 1->Bp sublane broadcast that Mosaic rejects
+            # ("Invalid input layout" on vector.broadcast).
             pre_I = base
             for w in range(W):
-                pre_I = pre_I + mfw[w] * krow[0, w * rd:(w + 1) * rd][None]
+                pre_I = pre_I + mfw[w] * ktab_ref[w, p]
 
             xI = x * w_x_ref[0][None, :] + pre_I               # (Bp, rd) f32
             h1 = gru(h1, dot(xI, w_ih1_ref[...]) + b1_ref[0][None, :],
@@ -224,9 +228,10 @@ def generate_rows_pallas(params: Params, mel_rows: jnp.ndarray,
     fblk = jnp.concatenate([base, pre_r2, pre_f1, pre_f2],
                            axis=-1).astype(cdt)      # (fpf, Bp, rd*4+2fc)
 
-    # per-phase banded weights: krep[p, w*rd + d] = K[2J - w, p]
-    krep = jnp.broadcast_to(K[::-1].T[:, :, None],
-                            (S, W, rd)).reshape(S, W * rd)
+    # per-(tap, phase) banded weights: ktab[w, p] = K[2J - w, p] — scalar
+    # across the rd lanes, so it lives in SMEM and is read per step as a
+    # scalar (see _kernel.step).
+    ktab = jnp.asarray(K[::-1], jnp.float32)           # (W, S)
 
     # ---- sampling noise (identical draw order to _generate_scan) --------
     k1, k2 = jax.random.split(key)
@@ -264,7 +269,8 @@ def generate_rows_pallas(params: Params, mel_rows: jnp.ndarray,
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((T, Bp), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [vmem] * 15,
+        in_specs=([pl.BlockSpec(memory_space=pl.ANY), vmem, vmem,
+                   pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 12),
         out_specs=vmem,
         scratch_shapes=[
             pltpu.VMEM((2, S, Bp, 128), cdt),
@@ -273,7 +279,7 @@ def generate_rows_pallas(params: Params, mel_rows: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(noise, mf, fblk, krep, w_x2,
+    )(noise, mf, fblk, ktab, w_x2,
       w_ih1, w_hh1, w_ih2x, w_hh2, w_fc1x, w_fc2x, w_fc3,
       b1, bh1, bh2, b3)
     return jnp.swapaxes(out, 0, 1)[:B]                     # (B, T)

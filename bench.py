@@ -149,6 +149,17 @@ def main():
                                            0.5, "bf16"))
         entries.append(RL.account("ae_convert(bf16)", fl, by, ae_dt_p,
                                   spec, compute_dtype="bf16"))
+        # The M-chunk single-utterance rows above are LATENCY-bound (the
+        # decoder scans run at 1-2 MXU rows); the serving slab shows the
+        # throughput story at production row counts.
+        slab64 = jnp.asarray(np.tile(np.asarray(chunks), (64, 1, 1))[:64])
+        c64 = jnp.broadcast_to(jnp.asarray(c), (64, 256))
+        fl64, by64 = RL.ae_forward_cost(ae_cfg, 64, N)
+        slab_dt, _, _ = _timeit(
+            lambda i: AE.convert_slab(ae_params, slab64, c64, c64, ae_cfg,
+                                      "bf16"))
+        entries.append(RL.account("ae_serve_slab64(bf16)", fl64, by64,
+                                  slab_dt, spec, compute_dtype="bf16"))
 
     # ---- component: WaveRNN conditioning + sampling kernel --------------
     post = AE.batch_forward_jit(ae_params, chunks, c, c, ae_cfg, 0.5, "auto")
@@ -271,22 +282,23 @@ def main():
     single_latency = time.time() - t0
 
     # ---- batch serving: every bundled utterance in one pass -------------
+    # Production path (VoiceConverter.convert_batch): fixed-row AE slabs +
+    # device-side packed merge, so ONE set of compiled programs serves any
+    # utterance-count/chunk-count workload (the counts-specialised
+    # batch_forward_many measures ~5% faster here but recompiles per
+    # workload shape — 287 s cold for this 8-utterance set).
     serve_audio_s = sum(len(w) for w in wavs) / 22050.0
     chunk_sets = [dev_mel.mel_spec_auto_encoder_sliced(
         w, ae_cfg.spectrogram)[0] for w in wavs]
-
-    counts = tuple(ch.shape[0] for ch in chunk_sets)
-    rows = sum(counts)
-    pad_rows = -(-rows // 8) * 8 - rows
-    stacked = jnp.concatenate(chunk_sets, axis=0)
-    if pad_rows:
-        stacked = jnp.pad(stacked, ((0, pad_rows), (0, 0), (0, 0)))
-    c_rows = np.broadcast_to(c, (stacked.shape[0], c.shape[-1]))
+    c_orgs = [np.zeros((c.shape[-1],), np.float32) for _ in wavs]
+    for co in c_orgs:
+        co[0] = 1.0
 
     def serve_dispatch(seed):
-        posts = AE.batch_forward_many(ae_params, stacked, c_rows, c,
-                                      counts, ae_cfg, 0.5, "auto")
-        return WR.generate_many(wr_params, posts, wr_cfg,
+        packed, starts, lengths = AE.batch_forward_packed(
+            ae_params, chunk_sets, c_orgs, c, ae_cfg, 0.5, "auto")
+        post_mels = [packed[:, s:s + L] for s, L in zip(starts, lengths)]
+        return WR.generate_many(wr_params, post_mels, wr_cfg,
                                 key=jax.random.PRNGKey(seed), block=False)
 
     t0 = time.time()

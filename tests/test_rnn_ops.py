@@ -165,3 +165,40 @@ def test_lstm_grad_flows():
     g = jax.grad(loss)(params)
     assert all(np.isfinite(np.asarray(v)).all() for v in g.values())
     assert float(np.abs(np.asarray(g["w_ih"])).sum()) > 0
+
+
+def test_lstm_stack_skewed_matches_sequential():
+    """The pipelined multi-layer scan is numerically the sequential stack
+    (same matmuls batched; masking freezes state outside each layer's live
+    range)."""
+    import jax
+    import jax.numpy as jnp
+    for L, H, I, B, T in ((3, 32, 12, 4, 21), (2, 16, 16, 1, 5)):
+        params = rnn_ops.init_lstm_stack(jax.random.PRNGKey(L), I, H, L)
+        x = jax.random.normal(jax.random.PRNGKey(7), (B, T, I))
+        o1, (h1, c1), f1 = rnn_ops.lstm_stack(params, x)
+        o2, (h2, c2), f2 = rnn_ops.lstm_stack_skewed(params, x)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_lstm_stack_skewed_grad_flows():
+    import jax
+    import jax.numpy as jnp
+    params = rnn_ops.init_lstm_stack(jax.random.PRNGKey(0), 8, 16, 3)
+    x = jnp.ones((2, 5, 8))
+
+    def loss(p):
+        out, _, _ = rnn_ops.lstm_stack_skewed(p, x)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(v)).all() for v in leaves)
+    assert float(np.abs(np.asarray(g[0]["w_ih"])).sum()) > 0
