@@ -224,11 +224,28 @@ def forward(params: Params, x: jnp.ndarray, mels: jnp.ndarray,
     return logits, dict(params, upsample=up_new)
 
 
+def encode_mu_law(x: jnp.ndarray, mu: int) -> jnp.ndarray:
+    """mu-law companding of a [-1, 1] signal (the encode side of the
+    contract whose decode is :func:`decode_mu_law` / the ``_finish`` expand;
+    upstream-WaveRNN semantics behind the reference's ``mu_law`` flag,
+    hparams.py:113, wavernn/model.py:315-317)."""
+    mu = mu - 1
+    return jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / jnp.log1p(mu)
+
+
 def loss(params: Params, x_in: jnp.ndarray, y_target: jnp.ndarray,
          mels: jnp.ndarray, cfg: WaveRNNConfig, train: bool = True):
     """Vocoder training loss: MOL NLL (mode 'MOL') or cross-entropy over
     quantised classes (mode 'RAW').  The reference ships no vocoder training
-    loop (SURVEY.md §2a #6) — this is the standard WaveRNN objective."""
+    loop (SURVEY.md §2a #6) — this is the standard WaveRNN objective.
+
+    RAW mode with ``cfg.generate.mu_law`` trains in the COMPANDED domain:
+    both the teacher-forced input and the quantised target are mu-law
+    encoded, matching generation (the sampled class feeds back as a
+    companded value and ``_finish`` expands the final stream)."""
+    if cfg.mode == "RAW" and cfg.generate.mu_law:
+        x_in = encode_mu_law(x_in, cfg.n_classes)
+        y_target = encode_mu_law(y_target, cfg.n_classes)
     logits, new_params = forward(params, x_in, mels, cfg, train=train)
     if cfg.mode == "MOL":
         l = MOL.discretized_mix_logistic_loss(logits, y_target[..., None])

@@ -101,24 +101,15 @@ def rec_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def rec_bdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Recurrent-step batched matmul (G, B, H) x (G, H, K) with the
-    small-shape f32 override (see REC_BF16_MIN_HIDDEN/ROWS)."""
-    if _rec_use_bf16(a.shape[0] * a.shape[1], a.shape[2]):
-        return jnp.einsum("gbh,ghk->gbk", a.astype(jnp.bfloat16),
-                          b.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
-    return jnp.einsum("gbh,ghk->gbk", a, b,
-                      precision=jax.lax.Precision.HIGHEST)
+    small-shape f32 override.
 
-
-def bdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Policy-routed BATCHED matmul: (G, B, H) x (G, H, K) -> (G, B, K).
-
-    One einsum dispatch carries G independent small matmuls (e.g. the two
-    directions of a BLSTM layer's recurrent step): on TPU the per-step
-    latency of a scan body is dominated by per-op overhead at small row
-    counts, so fusing G row-starved matmuls into one batched op roughly
-    divides that overhead by G."""
-    if mode() == "bf16":
+    Gating uses the PER-ENTRY row count ``B = a.shape[1]`` (not G*B): the
+    measured rows==1-favors-f32 regime is about each constituent matmul's
+    MXU row occupancy, so a batched step routes exactly as G independent
+    :func:`rec_dot` calls would — making batched recurrences (direction-
+    batched BLSTM, skewed stacks) bit-identical to their unbatched forms
+    under every policy."""
+    if _rec_use_bf16(a.shape[1], a.shape[2]):
         return jnp.einsum("gbh,ghk->gbk", a.astype(jnp.bfloat16),
                           b.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)

@@ -150,42 +150,21 @@ def make_sharded_vocoder_step(cfg, tx: optax.GradientTransformation,
                                   {"loss": repl, "grad_norm": repl}))
 
 
-def make_sharded_convert(cfg: AutoEncoderConfig, mesh: Mesh,
-                         params_example, overlap: float = 0.5) -> Callable:
-    """Chunk-sharded conversion: the sequence is split into overlapped
-    chunks (the reference's long-audio strategy) and the chunk axis is the
-    DP axis; the mean overlap-add merge lowers to a cross-device reduction.
-    """
-    from autovc_tpu.models import autoencoder as AE
-
-    p_shard = shd.param_shardings(params_example, mesh)
-    repl = shd.replicated(mesh)
-    chunk = NamedSharding(mesh, P("data"))
-
-    def convert(params, chunks, c_org, c_trg):
-        # f32: the sharded convert is the exactness reference for the
-        # 8-device CPU-mesh equality tests (tests/test_parallel.py).
-        return AE.batch_forward(params, chunks, c_org, c_trg, cfg,
-                                overlap=overlap, precision="f32")
-
-    return jax.jit(convert,
-                   in_shardings=(p_shard, chunk, repl, repl),
-                   out_shardings=repl)
-
-
 @functools.partial(jax.jit, static_argnames=("cfg", "overlap", "precision"))
 def chunk_sharded_convert(params, chunks, c_org, c_trg, valid_rows, cfg,
                           overlap: float = 0.5, precision: str = "f32"):
-    """Chunk-DP (sequence-parallel) conversion with padded rows.
+    """Chunk-DP (sequence-parallel) conversion with padded rows — THE
+    chunk-sharded conversion path (SURVEY §2c SP: the reference's long-audio
+    chunking, auto_encoder/model.py:395-437, with the chunk axis as the DP
+    axis and the mean overlap-add merge lowered to a cross-device reduction).
 
-    Like :func:`make_sharded_convert` but a module-level jit that tolerates
-    zero-padded chunk rows: the forward pass runs on all rows (sharded on
-    'data' via the arrays' committed shardings), the mean overlap-add merge
-    consumes only the first ``valid_rows`` (pad rows point at the merge's
-    trash window).  ``valid_rows`` is DATA, not shape: one compiled program
-    serves every chunk count that pads to the same (M_padded, ., .) shape.
-    This is the public ``VoiceConverter.convert(..., parallel="chunks")``
-    backend.
+    A module-level jit that tolerates zero-padded chunk rows: the forward
+    pass runs on all rows (sharded on 'data' via the arrays' committed
+    shardings), the mean overlap-add merge consumes only the first
+    ``valid_rows`` (pad rows point at the merge's trash window).
+    ``valid_rows`` is DATA, not shape: one compiled program serves every
+    chunk count that pads to the same (M_padded, ., .) shape.  This is the
+    public ``VoiceConverter.convert(..., parallel="chunks")`` backend.
 
     Args:
       chunks: (M_padded, n_mels, N) mel slices, rows >= valid_rows are pad.

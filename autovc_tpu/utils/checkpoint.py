@@ -195,7 +195,14 @@ def wait_for_saves() -> None:
 # ---------------------------------------------------------------------------
 
 
-def load_checkpoint(path: str) -> Dict[str, Any]:
+def load_checkpoint(path: str, allow_v1: bool = False) -> Dict[str, Any]:
+    """Load a checkpoint.  v2 zip containers load pickle-free.
+
+    ``allow_v1=True`` additionally accepts the legacy v1 pickled-dict format
+    written by early versions of this framework.  It is OFF by default
+    because ``pickle.load`` of an untrusted file is arbitrary code
+    execution — only enable it for files you wrote yourself.
+    """
     if _is_torch_checkpoint(path):
         raise ValueError(
             f"{path} is a PyTorch checkpoint; use load_model() which converts "
@@ -212,7 +219,12 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
 
             return _decode(manifest["payload"], tensor)
     # v1 legacy shim: a pickled dict of numpy leaves written by rounds 1-2.
-    # Only our own historical files hit this path (new saves are always v2).
+    if head[:1] != b"\x80" or not allow_v1:   # \x80 = pickle PROTO opcode
+        raise ValueError(
+            f"{path} is not a v2 checkpoint"
+            + ("" if allow_v1 else
+               " (if it is a legacy v1 pickle YOU wrote, pass allow_v1=True"
+               " — v1 loading executes pickle bytecode and is opt-in)"))
     import pickle
     with open(path, "rb") as f:
         blob = pickle.load(f)

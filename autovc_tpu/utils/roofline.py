@@ -12,8 +12,12 @@ Cost-model conventions:
     actually use (e.g. the Pallas WaveRNN kernel holds all weights in VMEM,
     so per-step traffic is just the streamed conditioning block — the XLA
     scan variant re-reads weights every step and is modeled as such);
-  * %-of-peak uses the matmul compute dtype's peak (bf16 on the Pallas
-    paths, f32 elsewhere).
+  * %-of-peak uses the matmul compute dtype's peak — callers MUST pass the
+    dtype the component's matmuls actually run in (`compute_dtype=`), e.g.
+    the bf16-policy train step scores against the bf16 peak;
+  * entries whose achieved rate would beat their own speed-of-light are
+    marked ``measurement_valid: false`` and must not be quoted as results
+    (the differential dispatch timer undershoots on sub-RTT kernels).
 
 For an autoregressive sampler the roofline is NOT the right ceiling — the
 sequential dependency means each step pays a latency floor regardless of
@@ -240,6 +244,12 @@ def account(name: str, flops: float, hbm_bytes: float, seconds: float,
     achieved_gbs = hbm_bytes / seconds / 1e9
     bound = "compute" if t_compute >= t_memory else "bandwidth"
     sol = max(t_compute, t_memory)
+    sol_fraction = round(sol / seconds, 4) if seconds > 0 else 0.0
+    # A component cannot beat its own speed-of-light.  sol_fraction > 1
+    # means the TIMING or the COST MODEL is wrong (sub-RTT kernels undershoot
+    # the differential dispatch timer; or XLA folded modeled work away) —
+    # publish the entry as measurement-invalid rather than as a result.
+    valid = sol_fraction <= 1.0
     entry = {
         "component": name,
         "flops": int(flops),
@@ -251,8 +261,9 @@ def account(name: str, flops: float, hbm_bytes: float, seconds: float,
         "hbm_pct": round(100 * achieved_gbs / spec.hbm_gbs, 2),
         "bound": bound,
         "sol_seconds": round(sol, 6),
-        "sol_fraction": round(sol / seconds, 4) if seconds > 0 else 0.0,
+        "sol_fraction": sol_fraction,
         "compute_dtype": compute_dtype,
+        "measurement_valid": valid,
     }
     if sequential_steps:
         # latency-bound autoregressive loop: amortised per-step time
@@ -261,13 +272,16 @@ def account(name: str, flops: float, hbm_bytes: float, seconds: float,
 
 
 def format_table(entries) -> str:
-    hdr = (f"{'component':<26}{'time':>9}{'TF/s':>8}{'GB/s':>8}"
+    hdr = (f"{'component':<26}{'dt':>5}{'time':>9}{'TF/s':>8}{'GB/s':>8}"
            f"{'MFU%':>7}{'HBM%':>7}{'bound':>11}{'SoL%':>7}")
     lines = [hdr, "-" * len(hdr)]
     for e in entries:
+        flag = "" if e.get("measurement_valid", True) \
+            else "  INVALID (>SoL: timing/model error)"
         lines.append(
-            f"{e['component']:<26}{e['seconds']*1e3:>7.1f}ms"
+            f"{e['component']:<26}{e['compute_dtype']:>5}"
+            f"{e['seconds']*1e3:>7.2f}ms"
             f"{e['achieved_tflops']:>8.2f}{e['achieved_gbs']:>8.1f}"
             f"{e['mfu_pct']:>7.2f}{e['hbm_pct']:>7.2f}{e['bound']:>11}"
-            f"{100*e['sol_fraction']:>6.1f}%")
+            f"{100*e['sol_fraction']:>6.1f}%{flag}")
     return "\n".join(lines)

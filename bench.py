@@ -58,29 +58,37 @@ def _sync(out):
     # host-side results (np arrays) are already synchronous
 
 
-def _timeit(fn, max_k: int = 64, budget_s: float = 0.6):
+def _timeit(fn, max_k: int = 64, budget_s: float = 0.6, repeats: int = 1):
     """Per-call device time via differential dispatch timing.
 
     The tunnel round-trip (~30 ms) dwarfs small kernels, so we time one
     synced call (t1) and then K async dispatches with a single final sync
     (tK); the per-op time is (tK - t1)/(K - 1), which cancels the RTT and
-    the sync cost exactly.  Returns (seconds_per_call, compile_s, last_out).
+    the sync cost exactly.  For sub-millisecond kernels the RTT *jitter*
+    (not its mean) still pollutes a single window, so ``repeats`` windows
+    are measured and the median per-op estimate kept — sub-RTT components
+    should pass repeats>=5 and a large max_k so the dispatched work
+    dominates the jitter.  Returns (seconds_per_call, compile_s, last_out).
     """
     t0 = time.time()
     out = fn(0)
     _sync(out)
     compile_s = time.time() - t0
-    t0 = time.time()
-    out = fn(1)
-    _sync(out)
-    t1 = time.time() - t0
-    K = max(2, min(max_k, int(budget_s / max(t1, 1e-3))))
-    t0 = time.time()
-    for i in range(2, 2 + K):
-        out = fn(i)
-    _sync(out)
-    tK = time.time() - t0
-    per_op = (tK - t1) / (K - 1) if K > 1 else t1
+    seed, per_ops = 1, []
+    for _ in range(max(1, repeats)):
+        t0 = time.time()
+        out = fn(seed)
+        _sync(out)
+        t1 = time.time() - t0
+        K = max(2, min(max_k, int(budget_s / max(t1, 1e-3))))
+        t0 = time.time()
+        for i in range(seed + 1, seed + 1 + K):
+            out = fn(i)
+        _sync(out)
+        tK = time.time() - t0
+        per_ops.append((tK - t1) / (K - 1) if K > 1 else t1)
+        seed += K + 1
+    per_op = sorted(per_ops)[len(per_ops) // 2]
     # a K-dispatch burst can't beat the laws of physics; clamp to sane range
     return max(per_op, 1e-7), compile_s, out
 
@@ -131,8 +139,12 @@ def main():
     # ---- component: device mel front-end --------------------------------
     from autovc_tpu.ops import melspec as dev_mel
     wav_dev = jax.device_put(wav)
+    # sub-RTT kernel: long dispatch windows + median of 5 so tunnel jitter
+    # doesn't produce impossible >SoL readings (r3 recorded a 133% MFU here;
+    # roofline.account now flags any residual >SoL entry as invalid)
     mel_dt, _, mel_out = _timeit(
-        lambda i: dev_mel.mel_spec_auto_encoder(wav_dev, ae_cfg.spectrogram))
+        lambda i: dev_mel.mel_spec_auto_encoder(wav_dev, ae_cfg.spectrogram),
+        max_k=512, budget_s=1.0, repeats=5)
     fl, by = RL.melspec_cost(mel_out.shape[-1], ae_cfg.spectrogram.n_fft,
                              ae_cfg.spectrogram.n_mels)
     entries.append(RL.account("mel_frontend(xla)", fl, by, mel_dt, spec))
@@ -141,12 +153,12 @@ def main():
     fl, by = RL.ae_forward_cost(ae_cfg, M, N)
     ae_dt, _, _ = _timeit(
         lambda i: AE.batch_forward_jit(ae_params, chunks, c, c, ae_cfg, 0.5,
-                                       "f32"))
+                                       "f32"), repeats=3)
     entries.append(RL.account("ae_convert(f32)", fl, by, ae_dt, spec))
     if on_tpu:
         ae_dt_p, _, _ = _timeit(
             lambda i: AE.batch_forward_jit(ae_params, chunks, c, c, ae_cfg,
-                                           0.5, "bf16"))
+                                           0.5, "bf16"), repeats=3)
         entries.append(RL.account("ae_convert(bf16)", fl, by, ae_dt_p,
                                   spec, compute_dtype="bf16"))
         # The M-chunk single-utterance rows above are LATENCY-bound (the
@@ -157,7 +169,7 @@ def main():
         fl64, by64 = RL.ae_forward_cost(ae_cfg, 64, N)
         slab_dt, _, _ = _timeit(
             lambda i: AE.convert_slab(ae_params, slab64, c64, c64, ae_cfg,
-                                      "bf16"))
+                                      "bf16"), repeats=3)
         entries.append(RL.account("ae_serve_slab64(bf16)", fl64, by64,
                                   slab_dt, spec, compute_dtype="bf16"))
 
@@ -233,9 +245,15 @@ def main():
     def train_once(i):
         return step_fn(*state0, xb, cb)[:3]
 
-    train_dt, _, _ = _timeit(train_once)
+    train_dt, _, _ = _timeit(train_once, repeats=3)
     fl, by = RL.ae_train_cost(ae_cfg, 16, N)
-    entries.append(RL.account("ae_train_step", fl, by, train_dt, spec))
+    # honest denominator: the step's matmul/conv compute policy comes from
+    # cfg.learn.precision ("bf16" by default) and MUST set the peak it is
+    # scored against (r3 scored this bf16 step vs the f32 peak — 53.8%
+    # "MFU" that was really ~13% of the bf16 peak)
+    train_dtype = "bf16" if ae_cfg.learn.precision == "bf16" else "f32"
+    entries.append(RL.account("ae_train_step", fl, by, train_dt, spec,
+                              compute_dtype=train_dtype))
     train_throughput = 16 * N * 0.0125 / train_dt
 
     # ---- cross-backend equivalence gate (VERDICT r1 #9) -----------------
@@ -290,9 +308,10 @@ def main():
     serve_audio_s = sum(len(w) for w in wavs) / 22050.0
     chunk_sets = [dev_mel.mel_spec_auto_encoder_sliced(
         w, ae_cfg.spectrogram)[0] for w in wavs]
-    c_orgs = [np.zeros((c.shape[-1],), np.float32) for _ in wavs]
-    for co in c_orgs:
-        co[0] = 1.0
+    # per-utterance source embeddings are intentionally identical dummies
+    # (== c): random-init weights make real embeddings meaningless; the
+    # compute path is identical either way
+    c_orgs = [np.asarray(c[0]) for _ in wavs]
 
     def serve_dispatch(seed):
         packed, starts, lengths = AE.batch_forward_packed(
@@ -336,6 +355,50 @@ def main():
     serve_mean = serve_audio_s / (sum(window_dts) / len(window_dts))
     serve_median = serve_audio_s / sorted(window_dts)[len(window_dts) // 2]
 
+    # ---- TRUE end-to-end serving (VERDICT r3 #6) ------------------------
+    # The headline above scopes to the device pipeline (mel -> AE ->
+    # WaveRNN) with chunks precomputed; this leg times the REAL
+    # VoiceConverter.convert_batch path per batch: wav load + host
+    # preprocess (normalize_volume), SE embedding (resample to 16 kHz +
+    # partial slices + LSTM stack), device mel + slicing, AE slabs +
+    # packed merge, vocoder, host readback + outprocess (normalize_volume
+    # + spectral-gate denoise) — voice_converter.py:314-426.
+    from autovc_tpu.audio import Audio
+    from autovc_tpu.config import SpeakerEncoderConfig
+    from autovc_tpu.models import speaker_encoder as SEm
+    se_cfg = SpeakerEncoderConfig()
+    se_params = SEm.init(jax.random.PRNGKey(1), se_cfg)
+
+    def e2e_serve(seed):
+        all_chunks, embeds = [], []
+        for p, w in zip(paths or [None] * len(wavs), wavs):
+            audio = Audio(p, 22050) if p else Audio(w.copy(), sr=22050,
+                                                    sr_org=22050)
+            audio.preprocess("normalize_volume")
+            wav16 = io.resample(audio.wav, audio.sr, se_cfg.spectrogram.sr)
+            embeds.append(SEm.embed_utterance(se_params, wav16, se_cfg))
+            chunks_i, _ = dev_mel.mel_spec_auto_encoder_sliced(
+                audio.wav, ae_cfg.spectrogram)
+            all_chunks.append(chunks_i)
+        packed, starts, lengths = AE.batch_forward_packed(
+            ae_params, all_chunks, embeds, c, ae_cfg, 0.5, "auto")
+        post_mels = [packed[:, s:s + L] for s, L in zip(starts, lengths)]
+        outs = WR.generate_many(wr_params, post_mels, wr_cfg,
+                                key=jax.random.PRNGKey(seed))
+        for o in outs:
+            out_audio = Audio(o, sr=22050, sr_org=22050)
+            out_audio.preprocess("normalize_volume", "remove_noise")
+        return None
+
+    e2e_serve(0)                   # compile / warm every stage
+    e2e_dts = []
+    for r in range(max(1, N_RUNS)):
+        t0 = time.time()
+        e2e_serve(r + 1)
+        e2e_dts.append(time.time() - t0)
+    e2e_dt = min(e2e_dts)
+    e2e_throughput = serve_audio_s / e2e_dt
+
     details.update({
         "serve_audio_seconds_per_second_per_chip": round(serve_throughput, 3),
         "convert_audio_seconds_per_second_per_chip": round(single_throughput,
@@ -355,11 +418,17 @@ def main():
         "serve_median_audio_s_per_s": round(serve_median, 3),
         "serve_window_audio_s_per_s": [round(serve_audio_s / dt, 1)
                                        for dt in window_dts],
+        # full convert_batch path incl. host pre/SE-embed/outprocess; the
+        # headline's scope ("mel -> AutoVC -> WaveRNN", device only) is
+        # therefore explicit by comparison with this number
+        "e2e_serve_audio_s_per_s": round(e2e_throughput, 3),
+        "e2e_serve_seconds_per_batch": round(e2e_dt, 3),
     })
     print(RL.format_table(entries), file=sys.stderr)
     print(f"# single-stream {single_throughput:.2f} audio-s/s | serving "
           f"({len(wavs)} utt, {serve_audio_s:.1f} audio-s) "
-          f"{serve_throughput:.2f} audio-s/s | WaveRNN "
+          f"{serve_throughput:.2f} audio-s/s | e2e convert_batch "
+          f"{e2e_throughput:.2f} audio-s/s | WaveRNN "
           f"{sample_rate:,.0f} samples/s ({sample_rate/22050:.1f}x RT) | "
           f"train {train_dt*1e3:.0f} ms/step", file=sys.stderr)
 

@@ -72,7 +72,11 @@ def test_v1_pickle_shim(tmp_path):
               "params": {"w": np.ones((2, 2), np.float32)}}
     with open(path, "wb") as f:
         pickle.dump(legacy, f, protocol=4)
-    blob = ck.load_checkpoint(path)
+    # the pickle path is opt-in (pickle.load of untrusted bytes is code
+    # execution): without allow_v1 the loader refuses
+    with pytest.raises(ValueError):
+        ck.load_checkpoint(path)
+    blob = ck.load_checkpoint(path, allow_v1=True)
     assert blob["step"] == 3
     np.testing.assert_array_equal(blob["params"]["w"], np.ones((2, 2)))
 

@@ -147,11 +147,12 @@ def test_chunk_sharded_convert_matches_local():
 
     local = np.asarray(AE.batch_forward(params, chunks, c, c, CFG, 0.5))
 
-    conv = psteps.make_sharded_convert(CFG, mesh, params, overlap=0.5)
     p_sh = shd.shard_params(params, mesh)
-    out = np.asarray(conv(p_sh, psteps.shard_batch(chunks, mesh),
-                          jax.device_put(c, shd.replicated(mesh)),
-                          jax.device_put(c, shd.replicated(mesh))))
+    out = np.asarray(psteps.chunk_sharded_convert(
+        p_sh, psteps.shard_batch(chunks, mesh),
+        jax.device_put(c, shd.replicated(mesh)),
+        jax.device_put(c, shd.replicated(mesh)),
+        jnp.int32(chunks.shape[0]), CFG, 0.5))
     np.testing.assert_allclose(out, local, rtol=1e-4, atol=1e-5)
 
 

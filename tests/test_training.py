@@ -164,6 +164,41 @@ def test_vocoder_training_step_runs():
     assert np.isfinite(losses).all()
 
 
+def test_mu_law_round_trip():
+    """encode_mu_law and decode_mu_law are inverses on [-1, 1] (the encode
+    side the reference leaves NotImplemented, wavernn/model.py:315-317)."""
+    x = np.linspace(-1.0, 1.0, 201, dtype=np.float32)
+    for mu in (512, 30):
+        y = np.asarray(WR.encode_mu_law(x, mu))
+        assert np.all(np.abs(y) <= 1.0 + 1e-6)
+        back = WR.decode_mu_law(y, mu)
+        np.testing.assert_allclose(back, x, atol=1e-5)
+
+
+def test_raw_mode_mu_law_companded_training():
+    """RAW + mu_law trains in the companded domain: the loss target classes
+    are those of the mu-law-encoded signal, consistent with generation
+    (classes decode through the `_finish` expand)."""
+    base = WaveRNNConfig().with_overrides(
+        res_blocks=1, rnn_dims=32, fc_dims=32, compute_dims=16,
+        res_out_dims=16, mode="RAW", bits=4)
+    cfg_mu = base.with_overrides(generate={"mu_law": True})
+    cfg_lin = base.with_overrides(generate={"mu_law": False})
+    params = WR.init(jax.random.PRNGKey(0), cfg_mu)
+    rng = np.random.default_rng(1)
+    F = 2 + 2 * cfg_mu.pad
+    mels = rng.random((2, 80, F)).astype(np.float32)
+    T = 2 * cfg_mu.hop_length
+    x = rng.uniform(-1, 1, (2, T)).astype(np.float32)
+    y = np.roll(x, -1, axis=1)
+    l_mu, _ = WR.loss(params, x, y, mels, cfg_mu, train=False)
+    l_lin, _ = WR.loss(params, x, y, mels, cfg_lin, train=False)
+    assert np.isfinite(float(l_mu)) and np.isfinite(float(l_lin))
+    # companding moves the quantisation grid, so the class targets (and the
+    # loss) must differ for a generic signal
+    assert abs(float(l_mu) - float(l_lin)) > 1e-6
+
+
 def test_ae_dataset_from_samples():
     cfg = AutoEncoderConfig().with_overrides(
         spectrogram={"partial_utterance_n_frames": 64})
