@@ -613,6 +613,28 @@ def _pallas_ok(cfg: WaveRNNConfig, interpret: bool) -> bool:
     return interpret or (cfg.rnn_dims % 128 == 0 and cfg.fc_dims % 128 == 0)
 
 
+def resolve_backend(backend: str, cfg: WaveRNNConfig, target: int,
+                    overlap: int, batched: bool = True,
+                    interpret: bool = False,
+                    mel_frames: int | None = None) -> str:
+    """Resolve 'auto'/'pallas'/'xla' to the backend that can actually run
+    this geometry — ONE gate shared by :func:`generate`,
+    :func:`generate_many` and the stage-pipeline vocoder
+    (parallel/pipeline.py), so every serving path picks the same winner."""
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend != "pallas":
+        return backend
+    if not _pallas_ok(cfg, interpret):
+        return "xla"          # hardware kernel needs rd/fc % 128 == 0
+    if batched and (target % cfg.total_scale or overlap % cfg.total_scale):
+        return "xla"          # rows kernel needs frame-aligned geometry
+    if (not batched and mel_frames is not None
+            and _pallas_max_rows(cfg, mel_frames, True) < 1):
+        return "xla"          # unbatched long audio exceeds kernel VMEM
+    return "pallas"
+
+
 def _prepare_frame_conditioning(params: Params, mel: jnp.ndarray,
                                 cfg: WaveRNNConfig, target: int,
                                 overlap: int, batched: bool):
@@ -721,8 +743,6 @@ def generate(params: Params, mel: np.ndarray,
         (pallas on TPU, xla elsewhere).
     Returns float32 waveform of length (F - 1) * hop_length.
     """
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     g = cfg.generate
     batched = g.batched if batched is None else batched
     overlap = g.overlap if overlap is None else overlap
@@ -738,15 +758,8 @@ def generate(params: Params, mel: np.ndarray,
                                   overlap)
     elif target is None:
         target = g.target
-    if backend == "pallas":
-        if not _pallas_ok(cfg, interpret):
-            backend = "xla"  # hardware kernel needs rd/fc % 128 == 0
-        elif batched and (target % cfg.total_scale
-                          or overlap % cfg.total_scale):
-            backend = "xla"  # rows kernel needs frame-aligned geometry
-        elif not batched and _pallas_max_rows(
-                cfg, int(mel.shape[-1]), fast_math) < 1:
-            backend = "xla"  # unbatched long audio exceeds kernel VMEM
+    backend = resolve_backend(backend, cfg, target, overlap, batched,
+                              interpret, int(mel.shape[-1]))
     output = _generate_program(params, mel, key, cfg, target, overlap,
                                batched, mu_law, fast_math, unroll, backend,
                                interpret)
@@ -852,8 +865,6 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
     """
     g = cfg.generate
     overlap = g.overlap if overlap is None else overlap
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if key is None:
         key = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
 
@@ -867,10 +878,7 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
         target = auto_fold_target(sum(wave_lens), overlap)
     elif target is None:
         target = g.target
-    if backend == "pallas" and (
-            not _pallas_ok(cfg, interpret)
-            or target % cfg.total_scale or overlap % cfg.total_scale):
-        backend = "xla"  # rows kernel needs 128-dims + aligned geometry
+    backend = resolve_backend(backend, cfg, target, overlap, True, interpret)
     flat = _generate_many_program(
         params, mels, key, cfg, target, overlap, fast_math, unroll, backend,
         slab_rows, interpret)

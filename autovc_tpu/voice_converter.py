@@ -367,32 +367,20 @@ class VoiceConverter:
         if parallel == "pipeline":
             # Stage-parallel serving: AE on one device group, vocoder on
             # the other; utterance j's vocoding overlaps utterance j+1's
-            # conversion (parallel/pipeline.py).
+            # conversion (parallel/pipeline.py).  The vocoder stage runs
+            # the same fused program (Pallas kernel + on-device finish) as
+            # the slab path, so the outputs are finished waveforms.
             from autovc_tpu.parallel import pipeline as ppipe
-            wr_cfg = self.vocoder.config
-            g = wr_cfg.generate
             pipe = ppipe.conversion_pipeline(
-                ae_params, self.vocoder.params, ae_cfg, wr_cfg,
-                devices=devices, overlap=overlap)
+                ae_params, self.vocoder.params, ae_cfg, self.vocoder.config,
+                devices=devices, overlap=overlap,
+                ae_precision=self.ae_precision,
+                backend=self.vocoder_backend)
             items = [(chunks, c_org[None], c_target,
                       jax.random.PRNGKey(seed + i))
                      for i, (chunks, c_org)
                      in enumerate(zip(all_chunks, c_orgs))]
-            folded = pipe.run(items)
-            wavs = []
-            for chunks, y in zip(all_chunks, folded):
-                M, _, N = chunks.shape
-                frames = N + (M - 1) * int(N * (1 - overlap))
-                wave_len = (frames - 1) * wr_cfg.hop_length
-                w = WRm.xfade_and_unfold(np.asarray(y, np.float64),
-                                         g.overlap)[:wave_len]
-                w = w.astype(np.float32)
-                # 20-hop tail fade to zero, same as every other vocoder
-                # finish path (reference wavernn/model.py:325-327)
-                fade_n = min(20 * wr_cfg.hop_length, len(w))
-                w[len(w) - fade_n:] *= np.linspace(1.0, 0.0, fade_n,
-                                                   dtype=np.float32)
-                wavs.append(w)
+            wavs = [w.astype(np.float32) for w in pipe.run(items)]
         elif parallel is not None:
             raise ValueError(f"parallel must be None or 'pipeline', "
                              f"got {parallel!r}")

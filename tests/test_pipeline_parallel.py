@@ -71,11 +71,26 @@ def test_conversion_pipeline_end_to_end(rng):
     gkey = jax.random.PRNGKey(7)
     outs = pipe.run([(chunks, c, c, gkey)])
 
-    # sequential reference
-    mel = AE.batch_forward(ae_params, chunks, c, c, ae_cfg)
-    g = wr_cfg.generate
-    cond, aux = WR._prepare_conditioning(wr_params, mel[None], wr_cfg,
-                                         g.target, g.overlap, True)
-    ref = WR._generate_scan(wr_params, cond, aux, gkey, wr_cfg)
-    np.testing.assert_allclose(outs[0], np.asarray(ref), rtol=2e-4,
-                               atol=2e-5)
+    # sequential reference: the pipeline's vocoder stage IS the public
+    # generate() program (shared code path — auto geometry + on-device
+    # finish), so the finished waveforms must agree
+    mel = AE.batch_forward(ae_params, chunks, c, c, ae_cfg,
+                           precision="auto")
+    ref = WR.generate(wr_params, np.asarray(mel), wr_cfg, key=gkey)
+    assert outs[0].shape == ref.shape
+    np.testing.assert_allclose(outs[0], ref, rtol=2e-4, atol=2e-5)
+
+
+def test_run_bounded_inflight(rng):
+    """run() keeps at most max_inflight items in flight and preserves
+    order regardless of the bound."""
+    w = jnp.eye(4)
+    groups = pp.split_devices(n_stages=2)
+    pipe = pp.StagePipeline([(lambda p, x: x @ p, w),
+                             (lambda p, x: x * 2.0, w)], groups)
+    xs = [jnp.full((2, 4), float(i)) for i in range(7)]
+    outs = pipe.run(xs, max_inflight=2)
+    for i, o in enumerate(outs):
+        np.testing.assert_allclose(o, np.full((2, 4), 2.0 * i))
+    with pytest.raises(AssertionError):
+        pipe.run(xs, max_inflight=1)
