@@ -40,18 +40,54 @@ def _moving_average(array: np.ndarray, width: int) -> np.ndarray:
     return csum[width - 1:] / width
 
 
+def webrtc_available() -> bool:
+    """True when the optional ``webrtcvad`` wheel is importable."""
+    try:
+        import webrtcvad  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _webrtc_voice_flags(wav: np.ndarray, sr: int,
+                        samples_per_window: int) -> np.ndarray:
+    """Per-window speech flags from the WebRTC GMM VAD — the reference's
+    exact decision path (tools.py:69-80: ``webrtcvad.Vad(mode=3)`` over
+    16-bit mono PCM windows).  Optional dependency."""
+    try:
+        import webrtcvad
+    except ImportError as e:
+        raise ImportError(
+            "create_silence_mask(backend='webrtc') needs the optional "
+            "'webrtcvad' wheel (pip install webrtcvad); the default "
+            "backend='energy' has no native dependency") from e
+    pcm = (np.round(wav * INT16_MAX)).astype("<i2").tobytes()
+    vad = webrtcvad.Vad(mode=3)
+    return np.array([
+        vad.is_speech(pcm[ws * 2:(ws + samples_per_window) * 2],
+                      sample_rate=sr)
+        for ws in range(0, len(wav), samples_per_window)], dtype=float)
+
+
 def create_silence_mask(wav, sr, vad_window_length=20,
                         vad_moving_average_width=8, vad_max_silence_length=2,
-                        energy_threshold_db=-40.0):
+                        energy_threshold_db=-40.0, backend="energy"):
     """Boolean speech mask; ``False`` marks silence.
 
     Same shape contract as the reference (tools.py:25-95): the wav is trimmed
     to a multiple of the window, per-window voice flags are smoothed with a
     moving average, rounded, dilated, and expanded back to sample resolution.
 
-    The voice decision itself is energy-based: a window is "speech" when its
-    RMS is above ``energy_threshold_db`` relative to the 95th-percentile RMS
-    of the recording (robust to absolute level).
+    ``backend``:
+      * "energy" (default, no native deps): a window is "speech" when its
+        RMS is above ``energy_threshold_db`` relative to the
+        95th-percentile RMS of the recording (robust to absolute level).
+        This DEVIATES from the reference's decision function — see
+        docs/VAD_DEVIATION.md for the recorded comparison and
+        scripts/vad_agreement.py to quantify on your own data.
+      * "webrtc": the reference's exact WebRTC ``Vad(mode=3)`` decisions
+        (optional ``webrtcvad`` wheel required); smoothing/dilation/expand
+        stages are shared, so masks are bit-compatible with the reference.
     """
     assert vad_window_length in (10, 20, 30)
     assert sr in _VAD_SRS, (
@@ -60,10 +96,17 @@ def create_silence_mask(wav, sr, vad_window_length=20,
     samples_per_window = (vad_window_length * sr) // 1000
     wav = wav[: len(wav) - (len(wav) % samples_per_window)]
 
-    frames = wav.reshape(-1, samples_per_window).astype(np.float64)
-    rms = np.sqrt(np.mean(frames ** 2, axis=1) + 1e-12)
-    ref = np.percentile(rms, 95) + 1e-12
-    voice_flags = (20 * np.log10(rms / ref) > energy_threshold_db).astype(float)
+    if backend == "webrtc":
+        voice_flags = _webrtc_voice_flags(wav, sr, samples_per_window)
+    elif backend == "energy":
+        frames = wav.reshape(-1, samples_per_window).astype(np.float64)
+        rms = np.sqrt(np.mean(frames ** 2, axis=1) + 1e-12)
+        ref = np.percentile(rms, 95) + 1e-12
+        voice_flags = (20 * np.log10(rms / ref)
+                       > energy_threshold_db).astype(float)
+    else:
+        raise ValueError(f"backend must be 'energy' or 'webrtc', "
+                         f"got {backend!r}")
 
     audio_mask = _moving_average(voice_flags, vad_moving_average_width)
     audio_mask = np.round(audio_mask).astype(bool)
@@ -219,7 +262,8 @@ PIPELINE_FUNCS = {
     "trim_long_silences": (trim_long_silences,
                            {"sr", "vad_window_length",
                             "vad_moving_average_width",
-                            "vad_max_silence_length", "energy_threshold_db"}),
+                            "vad_max_silence_length", "energy_threshold_db",
+                            "backend"}),
     "normalize_volume": (normalize_volume,
                          {"target_dBFS", "increase_only", "decrease_only"}),
     "remove_noise": (remove_noise,

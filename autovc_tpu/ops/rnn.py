@@ -68,12 +68,125 @@ def init_lstm_layer(key, input_size: int, hidden_size: int) -> Params:
     }
 
 
+# ---------------------------------------------------------------------------
+# LSTM recurrence core with a hand-derived VJP.
+#
+# XLA's autodiff of a scan accumulates the recurrent weight gradient INSIDE
+# the backward scan: every step pays a (4H, B) x (B, H) outer-product matmul
+# at tiny row counts, which made the AE train step's backward ~6x the cost
+# of its forward (measured 32 ms backward vs 5 ms forward on v5e).  The
+# custom VJP instead
+#   * saves the post-activation gates and cell states during the forward,
+#   * runs a backward scan whose ONLY matmul is the unavoidable sequential
+#     dependency dh_{t-1} += dgates_t @ W_hh^T, and
+#   * computes dW_hh as ONE big time-parallel (T*G*B, H)^T x (T*G*B, 4H)
+#     matmul after the scan (dW_ih falls out of the hoisted input
+#     projection's own VJP, which was already time-parallel).
+# Layouts are time-major (T, G, B, ...) with G batched recurrences (G=1 for
+# a plain layer, G=2 for a direction-batched BLSTM layer).
+# ---------------------------------------------------------------------------
+
+
+def _core_rec_dot(h, w_hh):
+    """(G, B, H) x (G, H, 4H) gate matmul, policy-routed per entry rows."""
+    if PREC._rec_use_bf16(h.shape[1], h.shape[2]):
+        return jnp.einsum("gbh,ghk->gbk", h.astype(jnp.bfloat16),
+                          w_hh.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum("gbh,ghk->gbk", h, w_hh,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _core_rec_dot_T(da, w_hh):
+    """(G, B, 4H) x (G, 4H, H)^T — the backward's sequential matmul."""
+    if PREC._rec_use_bf16(da.shape[1], w_hh.shape[1]):
+        return jnp.einsum("gbk,ghk->gbh", da.astype(jnp.bfloat16),
+                          w_hh.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum("gbk,ghk->gbh", da, w_hh,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _lstm_core_scan(xp, w_hh, h0, c0, save: bool):
+    def step(carry, xp_t):
+        h, c = carry
+        a = xp_t + _core_rec_dot(h, w_hh)
+        ai, af, ag, ao = jnp.split(a, 4, axis=-1)
+        i, f, o = (jax.nn.sigmoid(ai), jax.nn.sigmoid(af),
+                   jax.nn.sigmoid(ao))
+        g = jnp.tanh(ag)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        out = (h, jnp.concatenate([i, f, g, o], axis=-1), c) if save else h
+        return (h, c), out
+
+    (h, c), outs = jax.lax.scan(step, (h0, c0), xp,
+                                unroll=_scan_unroll())
+    return (h, c), outs
+
+
+@jax.custom_vjp
+def _lstm_core(xp, w_hh, h0, c0):
+    """Batched LSTM recurrence given hoisted gate pre-activations.
+
+    Args:
+      xp: (T, G, B, 4H) input projections + biases; w_hh: (G, H, 4H);
+      h0/c0: (G, B, H).
+    Returns: (ys (T, G, B, H), h_fin, c_fin).
+    """
+    (h, c), ys = _lstm_core_scan(xp, w_hh, h0, c0, save=False)
+    return ys, h, c
+
+
+def _lstm_core_fwd(xp, w_hh, h0, c0):
+    (h, c), (ys, gates, cs) = _lstm_core_scan(xp, w_hh, h0, c0, save=True)
+    return (ys, h, c), (gates, cs, ys, w_hh, h0, c0)
+
+
+def _lstm_core_bwd(res, cts):
+    gates, cs, ys, w_hh, h0, c0 = res
+    dys, dh_fin, dc_fin = cts
+    c_prev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
+    h_prev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
+
+    def bstep(carry, inp):
+        dh_rec, dc = carry
+        dy_t, gates_t, c_t, c_prev_t = inp
+        i, f, g, o = jnp.split(gates_t, 4, axis=-1)
+        dh = dy_t + dh_rec
+        tc = jnp.tanh(c_t)
+        da_o = dh * tc * o * (1.0 - o)
+        dc = dc + dh * o * (1.0 - tc * tc)
+        da_i = dc * g * i * (1.0 - i)
+        da_g = dc * i * (1.0 - g * g)
+        da_f = dc * c_prev_t * f * (1.0 - f)
+        da = jnp.concatenate([da_i, da_f, da_g, da_o], axis=-1)
+        return (_core_rec_dot_T(da, w_hh), dc * f), da
+
+    (dh0, dc0), das = jax.lax.scan(
+        bstep, (dh_fin, dc_fin), (dys, gates, cs, c_prev),
+        reverse=True, unroll=_scan_unroll())
+    # weight gradient: one large time-parallel contraction, policy-routed
+    if PREC.mode() == "bf16":
+        dw = jnp.einsum("tgbh,tgbk->ghk", h_prev.astype(jnp.bfloat16),
+                        das.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    else:
+        dw = jnp.einsum("tgbh,tgbk->ghk", h_prev, das,
+                        precision=jax.lax.Precision.HIGHEST)
+    return das, dw, dh0, dc0
+
+
+_lstm_core.defvjp(_lstm_core_fwd, _lstm_core_bwd)
+
+
 def lstm_layer(params: Params, x: jnp.ndarray, reverse: bool = False,
                h0: jnp.ndarray | None = None, c0: jnp.ndarray | None = None):
     """Run one LSTM layer over (B, T, I) -> outputs (B, T, H), final (h, c).
 
     The input projection runs as one big time-parallel matmul; only the
-    (B, H) x (H, 4H) recurrent matmul lives in the scan.
+    (B, H) x (H, 4H) recurrent matmul lives in the scan (custom-VJP core, so
+    the backward pays the same per-step cost as the forward).
     """
     B, T, _ = x.shape
     H = params["w_hh"].shape[0]
@@ -82,19 +195,14 @@ def lstm_layer(params: Params, x: jnp.ndarray, reverse: bool = False,
     h = jnp.zeros((B, H), x.dtype) if h0 is None else h0
     c = jnp.zeros((B, H), x.dtype) if c0 is None else c0
 
-    w_hh = params["w_hh"]
-
-    def step(carry, xp_t):
-        h, c = carry
-        gates = xp_t + PREC.rec_dot(h, w_hh)
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h = jax.nn.sigmoid(o) * jnp.tanh(c)
-        return (h, c), h
-
-    (h, c), ys = jax.lax.scan(step, (h, c), jnp.swapaxes(xp, 0, 1),
-                              reverse=reverse, unroll=_scan_unroll())
-    return jnp.swapaxes(ys, 0, 1), (h, c)
+    xpT = jnp.swapaxes(xp, 0, 1)[:, None]               # (T, 1, B, 4H)
+    if reverse:
+        xpT = jnp.flip(xpT, axis=0)
+    ys, h, c = _lstm_core(xpT, params["w_hh"][None], h[None], c[None])
+    ys = ys[:, 0]
+    if reverse:
+        ys = jnp.flip(ys, axis=0)
+    return jnp.swapaxes(ys, 0, 1), (h[0], c[0])
 
 
 def init_lstm_stack(key, input_size: int, hidden_size: int,
@@ -148,24 +256,14 @@ def _bilstm_layer_dirbatch(lp: Params, x: jnp.ndarray) -> jnp.ndarray:
     xr = jnp.flip(x, axis=1)
     xp_f = _dot(x, lp["fwd"]["w_ih"]) + lp["fwd"]["b_ih"] + lp["fwd"]["b_hh"]
     xp_b = _dot(xr, lp["bwd"]["w_ih"]) + lp["bwd"]["b_ih"] + lp["bwd"]["b_hh"]
-    xp = jnp.concatenate([xp_f, xp_b], axis=0)          # (2B, T, 4H)
+    xp = jnp.stack([jnp.swapaxes(xp_f, 0, 1),
+                    jnp.swapaxes(xp_b, 0, 1)], axis=1)  # (T, 2, B, 4H)
     w_hh = jnp.stack([lp["fwd"]["w_hh"], lp["bwd"]["w_hh"]])   # (2, H, 4H)
-    h = jnp.zeros((2 * B, H), x.dtype)
-    c = jnp.zeros((2 * B, H), x.dtype)
-
-    def step(carry, xp_t):
-        h, c = carry
-        hp = PREC.rec_bdot(h.reshape(2, B, H), w_hh).reshape(2 * B, 4 * H)
-        gates = xp_t + hp
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h = jax.nn.sigmoid(o) * jnp.tanh(c)
-        return (h, c), h
-
-    _, ys = jax.lax.scan(step, (h, c), jnp.swapaxes(xp, 0, 1),
-                         unroll=_scan_unroll())
-    ys = jnp.swapaxes(ys, 0, 1)                         # (2B, T, H)
-    return jnp.concatenate([ys[:B], jnp.flip(ys[B:], axis=1)], axis=-1)
+    h0 = jnp.zeros((2, B, H), x.dtype)
+    ys, _, _ = _lstm_core(xp, w_hh, h0, h0)             # (T, 2, B, H)
+    out_f = jnp.swapaxes(ys[:, 0], 0, 1)                # (B, T, H)
+    out_b = jnp.flip(jnp.swapaxes(ys[:, 1], 0, 1), axis=1)
+    return jnp.concatenate([out_f, out_b], axis=-1)
 
 
 def bilstm_stack(params: Sequence[Params], x: jnp.ndarray) -> jnp.ndarray:
@@ -292,6 +390,98 @@ def gru_project_inputs(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     return _dot(x, params["w_ih"]) + params["b_ih"]
 
 
+def _gru_rec_dot(h, w_hh):
+    if PREC._rec_use_bf16(h.shape[0], h.shape[1]):
+        return jnp.matmul(h.astype(jnp.bfloat16),
+                          w_hh.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return jnp.matmul(h, w_hh, precision=jax.lax.Precision.HIGHEST)
+
+
+def _gru_rec_dot_T(dhp, w_hh):
+    if PREC._rec_use_bf16(dhp.shape[0], w_hh.shape[0]):
+        return jnp.matmul(dhp.astype(jnp.bfloat16),
+                          w_hh.T.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return jnp.matmul(dhp, w_hh.T, precision=jax.lax.Precision.HIGHEST)
+
+
+def _gru_core_scan(xp, w_hh, b_hh, h0, save: bool):
+    H = h0.shape[-1]
+
+    def step(h, xp_t):
+        hp = _gru_rec_dot(h, w_hh) + b_hh
+        xr, xz, xn = jnp.split(xp_t, 3, axis=-1)
+        hr, hz, hn = jnp.split(hp, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        out = (h_new, jnp.concatenate([r, z, n, hn], axis=-1)) if save \
+            else h_new
+        return h_new, out
+
+    return jax.lax.scan(step, h0, xp, unroll=_scan_unroll())
+
+
+@jax.custom_vjp
+def _gru_core(xp, w_hh, b_hh, h0):
+    """GRU recurrence given hoisted input projections (same custom-VJP
+    rationale as :func:`_lstm_core`: the backward's only matmul is the
+    sequential dhp @ W_hh^T; dW_hh is one big time-parallel contraction).
+
+    xp: (T, B, 3H); w_hh: (H, 3H); b_hh: (3H,); h0: (B, H).
+    Returns (ys (T, B, H), h_fin)."""
+    h, ys = _gru_core_scan(xp, w_hh, b_hh, h0, save=False)
+    return ys, h
+
+
+def _gru_core_fwd(xp, w_hh, b_hh, h0):
+    h, (ys, acts) = _gru_core_scan(xp, w_hh, b_hh, h0, save=True)
+    return (ys, h), (acts, ys, w_hh, h0)
+
+
+def _gru_core_bwd(res, cts):
+    acts, ys, w_hh, h0 = res
+    dys, dh_fin = cts
+    h_prev = jnp.concatenate([h0[None], ys[:-1]], axis=0)
+
+    def bstep(dh_rec, inp):
+        dy_t, acts_t, h_prev_t = inp
+        H = h_prev_t.shape[-1]
+        r, z, n, hn = (acts_t[..., :H], acts_t[..., H:2 * H],
+                       acts_t[..., 2 * H:3 * H], acts_t[..., 3 * H:])
+        dh = dy_t + dh_rec
+        dn = dh * (1.0 - z)
+        da_n = dn * (1.0 - n * n)
+        dz = dh * (h_prev_t - n)
+        da_z = dz * z * (1.0 - z)
+        dr = da_n * hn
+        da_r = dr * r * (1.0 - r)
+        dhp = jnp.concatenate([da_r, da_z, da_n * r], axis=-1)
+        dxp = jnp.concatenate([da_r, da_z, da_n], axis=-1)
+        dh_prev = dh * z + _gru_rec_dot_T(dhp, w_hh)
+        return dh_prev, (dxp, dhp)
+
+    dh0, (dxps, dhps) = jax.lax.scan(
+        bstep, dh_fin, (dys, acts, h_prev),
+        reverse=True, unroll=_scan_unroll())
+    T, B, H = h_prev.shape
+    if PREC.mode() == "bf16":
+        dw = jnp.matmul(h_prev.reshape(T * B, H).T.astype(jnp.bfloat16),
+                        dhps.reshape(T * B, -1).astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    else:
+        dw = jnp.matmul(h_prev.reshape(T * B, H).T,
+                        dhps.reshape(T * B, -1),
+                        precision=jax.lax.Precision.HIGHEST)
+    db = jnp.sum(dhps, axis=(0, 1))
+    return dxps, dw, db, dh0
+
+
+_gru_core.defvjp(_gru_core_fwd, _gru_core_bwd)
+
+
 def gru_layer(params: Params, x: jnp.ndarray,
               h0: jnp.ndarray | None = None):
     """One GRU layer over (B, T, I) -> outputs (B, T, H), final h."""
@@ -299,11 +489,6 @@ def gru_layer(params: Params, x: jnp.ndarray,
     H = params["w_hh"].shape[0]
     xp = gru_project_inputs(params, x)
     h = jnp.zeros((B, H), x.dtype) if h0 is None else h0
-
-    def step(h, xp_t):
-        h = gru_cell(params, xp_t, h)
-        return h, h
-
-    h, ys = jax.lax.scan(step, h, jnp.swapaxes(xp, 0, 1),
-                         unroll=_scan_unroll())
+    ys, h = _gru_core(jnp.swapaxes(xp, 0, 1), params["w_hh"],
+                      params["b_hh"], h)
     return jnp.swapaxes(ys, 0, 1), h

@@ -122,3 +122,35 @@ def test_retrieve_file_paths_dir():
     assert all(f.endswith(".wav") for f in files)
     one = retrieve_file_paths(files[0])
     assert one == [files[0]]
+
+
+def test_vad_backend_validation():
+    import numpy as np
+    import pytest
+    wav = np.random.default_rng(0).uniform(-0.3, 0.3, 16000).astype(
+        np.float32)
+    with pytest.raises(ValueError):
+        tools.create_silence_mask(wav, 16000, backend="nope")
+    if not tools.webrtc_available():
+        with pytest.raises(ImportError):
+            tools.create_silence_mask(wav, 16000, backend="webrtc")
+
+
+def test_vad_webrtc_agreement():
+    """Mask agreement between the default energy VAD and the reference's
+    WebRTC decision path on the bundled samples (VAD_DEVIATION.md); runs
+    whenever the optional webrtcvad wheel is installed."""
+    import glob
+
+    import numpy as np
+    import pytest
+    if not tools.webrtc_available():
+        pytest.skip("webrtcvad not installed (see docs/VAD_DEVIATION.md)")
+    from autovc_tpu.audio import io
+    agrees = []
+    for p in sorted(glob.glob("/root/reference/data/samples/*.wav")):
+        wav, _ = io.load_wav(p, sr=16000)
+        _, m_e = tools.create_silence_mask(wav, 16000)
+        _, m_w = tools.create_silence_mask(wav, 16000, backend="webrtc")
+        agrees.append((m_e == m_w).mean())
+    assert np.mean(agrees) >= 0.8, agrees

@@ -202,3 +202,151 @@ def test_lstm_stack_skewed_grad_flows():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(v)).all() for v in leaves)
     assert float(np.abs(np.asarray(g[0]["w_ih"])).sum()) > 0
+
+
+def _naive_lstm_layer(params, x, reverse=False):
+    """Plain autodiff reference for the custom-VJP core: same math, scan
+    differentiated by XLA."""
+    import jax
+    import jax.numpy as jnp
+    B, T, _ = x.shape
+    H = params["w_hh"].shape[0]
+    xp = (jnp.matmul(x, params["w_ih"],
+                     precision=jax.lax.Precision.HIGHEST)
+          + params["b_ih"] + params["b_hh"])
+    h = jnp.zeros((B, H), x.dtype)
+    c = jnp.zeros((B, H), x.dtype)
+
+    def step(carry, xp_t):
+        h, c = carry
+        gates = xp_t + jnp.matmul(h, params["w_hh"],
+                                  precision=jax.lax.Precision.HIGHEST)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    (h, c), ys = jax.lax.scan(step, (h, c), jnp.swapaxes(xp, 0, 1),
+                              reverse=reverse)
+    return jnp.swapaxes(ys, 0, 1)
+
+
+def test_lstm_custom_vjp_grad_parity():
+    """The hand-derived LSTM backward (rnn._lstm_core_bwd) must match
+    XLA autodiff of the same scan to float precision."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    B, T, I, H = 3, 7, 5, 4
+    params = rnn_ops.init_lstm_layer(jax.random.PRNGKey(0), I, H)
+    x = jnp.asarray(rng.standard_normal((B, T, I)).astype(np.float32))
+    tgt = jnp.asarray(rng.standard_normal((B, T, H)).astype(np.float32))
+
+    def loss_custom(p):
+        ys, _ = rnn_ops.lstm_layer(p, x)
+        return jnp.sum((ys - tgt) ** 2) + jnp.mean(ys)
+
+    def loss_naive(p):
+        ys = _naive_lstm_layer(p, x)
+        return jnp.sum((ys - tgt) ** 2) + jnp.mean(ys)
+
+    g1 = jax.grad(loss_custom)(params)
+    g2 = jax.grad(loss_naive)(params)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=2e-5, atol=2e-5, err_msg=k)
+
+
+def test_lstm_custom_vjp_grad_parity_reverse():
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(1)
+    B, T, I, H = 2, 5, 4, 3
+    params = rnn_ops.init_lstm_layer(jax.random.PRNGKey(1), I, H)
+    x = jnp.asarray(rng.standard_normal((B, T, I)).astype(np.float32))
+
+    def loss_custom(p):
+        ys, _ = rnn_ops.lstm_layer(p, x, reverse=True)
+        return jnp.sum(ys ** 2)
+
+    def loss_naive(p):
+        return jnp.sum(_naive_lstm_layer(p, x, reverse=True) ** 2)
+
+    g1 = jax.grad(loss_custom)(params)
+    g2 = jax.grad(loss_naive)(params)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=2e-5, atol=2e-5, err_msg=k)
+
+
+def test_bilstm_custom_vjp_grad_parity():
+    """Direction-batched BLSTM grads == per-direction naive autodiff."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(2)
+    B, T, I, H = 2, 6, 5, 4
+    stack = rnn_ops.init_bilstm_stack(jax.random.PRNGKey(2), I, H, 1)
+    x = jnp.asarray(rng.standard_normal((B, T, I)).astype(np.float32))
+
+    def loss_custom(p):
+        return jnp.sum(rnn_ops.bilstm_stack(p, x) ** 2)
+
+    def loss_naive(p):
+        lp = p[0]
+        f = _naive_lstm_layer(lp["fwd"], x)
+        b = jnp.flip(_naive_lstm_layer(
+            lp["bwd"], jnp.flip(x, axis=1)), axis=1)
+        return jnp.sum(jnp.concatenate([f, b], axis=-1) ** 2)
+
+    g1 = jax.grad(loss_custom)(stack)
+    g2 = jax.grad(loss_naive)(stack)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat2 = jax.tree_util.tree_leaves(g2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_gru_custom_vjp_grad_parity():
+    """Hand-derived GRU backward (rnn._gru_core_bwd) vs XLA autodiff."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    B, T, I, H = 3, 6, 4, 5
+    params = rnn_ops.init_gru_layer(jax.random.PRNGKey(3), I, H)
+    x = jnp.asarray(rng.standard_normal((B, T, I)).astype(np.float32))
+
+    def naive_gru(p, x):
+        B, T, _ = x.shape
+        H = p["w_hh"].shape[0]
+        xp = jnp.matmul(x, p["w_ih"],
+                        precision=jax.lax.Precision.HIGHEST) + p["b_ih"]
+        h = jnp.zeros((B, H), x.dtype)
+
+        def step(h, xp_t):
+            hp = jnp.matmul(h, p["w_hh"],
+                            precision=jax.lax.Precision.HIGHEST) + p["b_hh"]
+            xr, xz, xn = jnp.split(xp_t, 3, axis=-1)
+            hr, hz, hn = jnp.split(hp, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            h = (1.0 - z) * n + z * h
+            return h, h
+
+        _, ys = jax.lax.scan(step, h, jnp.swapaxes(xp, 0, 1))
+        return jnp.swapaxes(ys, 0, 1)
+
+    def loss_custom(p):
+        ys, _ = rnn_ops.gru_layer(p, x)
+        return jnp.sum(ys ** 2) + jnp.mean(jnp.abs(ys))
+
+    def loss_naive(p):
+        ys = naive_gru(p, x)
+        return jnp.sum(ys ** 2) + jnp.mean(jnp.abs(ys))
+
+    g1 = jax.grad(loss_custom)(params)
+    g2 = jax.grad(loss_naive)(params)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=2e-5, atol=2e-5, err_msg=k)
