@@ -265,14 +265,25 @@ def mel_spec_auto_encoder_sliced(wav: np.ndarray,
 
 def mel_spec_speaker_encoder_sliced(wav: np.ndarray,
                                     cfg: SpeakerMelConfig = SpeakerMelConfig(),
+                                    use_native: bool = False,
                                     **slice_kwargs):
     """``cut=True`` speaker-encoder path: (n_partials, frames, mels) float32
-    plus the wav slices (used by ``embed_utterance``)."""
+    plus the wav slices (used by ``embed_utterance``).
+
+    ``use_native=True`` computes the mel through the threaded C++ core
+    (autovc_tpu.native, ~8x faster; parity-tested at rtol 2e-3, numpy
+    fallback when the toolchain is absent) — the batch-serving embed path
+    (`speaker_encoder.embed_utterances`) opts in; the single-utterance
+    parity path stays on the numpy reference implementation."""
     slice_kwargs.setdefault("partial_utterance_n_frames",
                             cfg.partial_utterance_n_frames)
     slice_kwargs.setdefault("mel_window_step", cfg.mel_window_step)
     wav_slices, mel_slices = compute_partial_slices(len(wav), cfg.sr,
                                                     **slice_kwargs)
     wav = pad_for_slices(wav, wav_slices)
-    mel = mel_spec_speaker_encoder(wav, cfg)
+    if use_native:
+        from autovc_tpu import native
+        mel = native.mel_spec_speaker_encoder(wav, cfg)
+    else:
+        mel = mel_spec_speaker_encoder(wav, cfg)
     return np.stack([mel[s] for s in mel_slices]), wav_slices, mel_slices

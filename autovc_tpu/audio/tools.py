@@ -163,11 +163,21 @@ def remove_noise(wav, sr, n_fft=1024, hop_length=256, noise_quantile=0.1,
         gain, size=(smooth_time_frames, smooth_freq_bins))
 
     out_frames = np.fft.irfft(spec * gain, n=n_fft, axis=-1) * window
-    out = np.zeros(len(frames) * hop_length + n_fft)
+    # vectorised overlap-add (a python per-frame loop here dominated e2e
+    # serving host time): frame t's block r (of n_fft//hop blocks of hop
+    # samples) lands at (t + r) * hop, so the whole OLA is n_fft//hop
+    # strided adds of contiguous views
+    T = len(frames)
+    out = np.zeros(T * hop_length + n_fft)
     wsum = np.zeros_like(out)
-    for t in range(len(frames)):
-        out[t * hop_length: t * hop_length + n_fft] += out_frames[t]
-        wsum[t * hop_length: t * hop_length + n_fft] += window ** 2
+    R = n_fft // hop_length
+    assert n_fft % hop_length == 0, "hop must divide n_fft"
+    w2 = window ** 2
+    for r in range(R):
+        blk = out_frames[:, r * hop_length:(r + 1) * hop_length]
+        out[r * hop_length: (r + T) * hop_length] += blk.ravel()
+        wsum[r * hop_length: (r + T) * hop_length] += np.tile(
+            w2[r * hop_length:(r + 1) * hop_length], T)
     out = out / np.maximum(wsum, 1e-8)
     out = out[n_fft // 2: n_fft // 2 + len(wav)]
     return out.astype(np.float32)

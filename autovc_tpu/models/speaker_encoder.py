@@ -79,6 +79,38 @@ def embed_utterance(params: Params, wav: np.ndarray,
     return embed
 
 
+def embed_utterances(params: Params, wavs,
+                     cfg: SpeakerEncoderConfig = SpeakerEncoderConfig(),
+                     **slice_kwargs):
+    """d-vectors for SEVERAL utterances in ONE device call (serving path).
+
+    Per-utterance :func:`embed_utterance` calls pay a host round-trip and a
+    fresh compile per distinct partial count; here every utterance's
+    partial slices join one (sum(P_i) rounded to 32, n_frames, n_mels)
+    batch through ONE ``forward`` dispatch, and the per-utterance
+    mean + L2-normalise runs on host.  Returns a list of (emb,) arrays in
+    input order; numerics identical to per-utterance embedding.
+    """
+    batches, counts = [], []
+    for wav in wavs:
+        fb, _, _ = dsp.mel_spec_speaker_encoder_sliced(
+            wav, cfg.spectrogram, use_native=True, **slice_kwargs)
+        batches.append(np.asarray(fb))
+        counts.append(fb.shape[0])
+    rows = np.concatenate(batches, axis=0)
+    R = rows.shape[0]
+    Rb = -(-R // 32) * 32          # bounded compile-cache variants
+    if Rb != R:
+        rows = np.pad(rows, ((0, Rb - R), (0, 0), (0, 0)))
+    emb = np.asarray(forward_jit(params, rows))
+    outs, r = [], 0
+    for n in counts:
+        raw = emb[r:r + n].mean(axis=0)
+        r += n
+        outs.append(raw / np.linalg.norm(raw, 2))
+    return outs
+
+
 def similarity_matrix(params: Params, embeds: jnp.ndarray) -> jnp.ndarray:
     """GE2E similarity matrix (model.py:192-234), vectorised.
 

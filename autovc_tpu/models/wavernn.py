@@ -277,27 +277,72 @@ def pad_mel(mel: jnp.ndarray, pad: int) -> jnp.ndarray:
 # 22000), so longer folds stop paying for their fewer crossfade seams.
 _TARGET_LADDER = (1_375, 2_750, 5_500, 11_000, 22_000)
 
-# Measured on TPU v5e: the Pallas sampling kernel's rows-throughput rises
-# ~linearly to ~32 fold rows (17.4 Msamples/s, ~68% MFU) and is flat
-# beyond; per-step wall time is near-constant below the knee and linear
-# above it.  Wall time ~= seq_len * us_per_step, so the fastest geometry
-# puts the fold count AT the knee.
-_FOLD_ROWS_KNEE = 30
+# Measured per-step kernel time (us) vs fold-row count, TPU v5e, r4 sweep
+# (scripts/exp_sampling_rows.py).  NOT flat beyond 32 as the r3 model
+# assumed: throughput keeps rising to 64 rows (85% bf16 MFU), with a local
+# anomaly at 40 rows (2.58 us — slower than 48's 2.54, so the row bucket
+# ladder skips 40 entirely).
+_ROWS_US = ((8, 1.77), (16, 1.84), (24, 1.89), (32, 2.00), (48, 2.54),
+            (64, 2.85), (80, 3.79), (96, 4.44), (128, 5.74))
+_ROW_BUCKETS = (8, 16, 24, 32, 48, 64)
+_MAX_SLAB_ROWS = 64
+
+
+def _row_bucket(rows: int) -> int:
+    """Smallest efficient kernel row count >= rows (skips the measured
+    40-row anomaly); beyond 64 the caller tiles into <=64-row passes."""
+    for b in _ROW_BUCKETS:
+        if rows <= b:
+            return b
+    return -(-rows // 8) * 8
+
+
+def _us_per_step(rows: int) -> float:
+    """Piecewise-linear interpolation of the measured per-step time."""
+    if rows <= _ROWS_US[0][0]:
+        return _ROWS_US[0][1]
+    for (r0, u0), (r1, u1) in zip(_ROWS_US, _ROWS_US[1:]):
+        if rows <= r1:
+            return u0 + (u1 - u0) * (rows - r0) / (r1 - r0)
+    r1, u1 = _ROWS_US[-1]
+    r0, u0 = _ROWS_US[-2]
+    return u1 + (u1 - u0) / (r1 - r0) * (rows - r1)
+
+
+def _fold_count(total_len: int, target: int, overlap: int) -> int:
+    num_folds = max(0, (total_len - overlap) // (target + overlap))
+    if total_len - (num_folds * (overlap + target) + overlap) != 0:
+        num_folds += 1
+    return max(num_folds, 1)
+
+
+def _sampling_wall_model(total_len: int, target: int, overlap: int) -> float:
+    """Predicted kernel wall time (us): sequential steps x the per-step
+    cost of each <=64-row pass the fold count tiles into."""
+    seq = target + 2 * overlap
+    folds = _fold_count(total_len, target, overlap)
+    full, rem = divmod(folds, _MAX_SLAB_ROWS)
+    us = full * _us_per_step(_MAX_SLAB_ROWS)
+    if rem:
+        us += _us_per_step(_row_bucket(rem))
+    return seq * us
 
 
 def auto_fold_target(total_len: int, overlap: int = 550) -> int:
-    """Pick the fold length whose fold count lands nearest the TPU
-    sampling kernel's throughput knee (~32 rows).
+    """Pick the fold length minimising the measured-cost wall model.
 
     The reference pins target=11000 for every input (hparams.py:110): a
-    7 s clip then folds to ~15 rows x 12100 sequential steps, half-filling
-    the efficient batch while paying double the sequential steps.  Choosing
-    from the ladder instead halves (short audio) to quarters (sub-second
-    audio) the wall clock, and gives LONG audio fewer crossfade seams than
-    the reference.  Geometric nearness keeps the choice scale-free.
+    7 s clip then folds to ~15 rows x 12100 sequential steps, badly
+    underfilling the MXU.  The model trades sequential steps against
+    per-pass row efficiency using the chip-measured _ROWS_US table: short
+    audio folds shorter (more rows, fewer steps — a 5 s clip lands 64 rows
+    x 2475 steps, ~29% faster than the r3 knee-of-32 choice), long audio
+    keeps long folds (fewer crossfade seams than the reference).
     """
-    want = max(total_len / _FOLD_ROWS_KNEE, 1.0)
-    return min(_TARGET_LADDER, key=lambda t: abs(math.log(t / want)))
+    if total_len <= 0:
+        return _TARGET_LADDER[0]
+    return min(_TARGET_LADDER,
+               key=lambda t: _sampling_wall_model(total_len, t, overlap))
 
 
 def fold_with_overlap(x: jnp.ndarray, target: int, overlap: int):
@@ -678,10 +723,11 @@ def _generate_program(params: Params, mel: jnp.ndarray, key,
     if backend == "pallas":
         mel_rows, aux_rows = _prepare_frame_conditioning(
             params, mel, cfg, target, overlap, batched)
-        # Bucket rows to a multiple of 8 with zero rows (bounds jit
-        # variants, aligns the MXU operand); dropped after sampling.
+        # Bucket rows to the efficient-ladder entry with zero rows (bounds
+        # jit variants, aligns the MXU operand, skips the measured 40-row
+        # anomaly); dropped after sampling.
         n_folds = mel_rows.shape[0]
-        bucket = -(-n_folds // 8) * 8
+        bucket = _row_bucket(n_folds)
         if bucket != n_folds:
             pad_rows = ((0, bucket - n_folds), (0, 0), (0, 0))
             mel_rows = jnp.pad(mel_rows, pad_rows)
@@ -792,13 +838,12 @@ def _generate_many_program(params: Params, mels: tuple, key,
     aux = jnp.concatenate(auxs, axis=0)
     total_folds = cond.shape[0]
 
-    # Process in fixed-size slabs.  At scale the slab is 32 rows — the
-    # measured knee of the sampling kernel's rows-throughput curve (flat
-    # beyond it, so 32-row passes match 128-row passes in throughput while
-    # wasting at most 31 padded rows, not 127) — giving ONE compiled
-    # program for any workload size; small workloads use an 8-multiple
-    # bucket so tests and single calls don't pad up.
-    slab_rows = 32 if slab_rows is None else slab_rows
+    # Process in fixed-size slabs.  At scale the slab is 64 rows — the
+    # r4 rows sweep measured per-row cost still FALLING to 64 rows (85%
+    # bf16 MFU, vs 61% at the r3 32-row choice) — giving ONE compiled
+    # program for any workload size; smaller workloads use the efficient
+    # row-bucket ladder so tests and single calls don't pad up.
+    slab_rows = _MAX_SLAB_ROWS if slab_rows is None else slab_rows
     if not (slab_rows > 0 and slab_rows % 8 == 0):
         raise ValueError(f"slab_rows must be a positive multiple of 8, "
                          f"got {slab_rows}")
@@ -807,7 +852,7 @@ def _generate_many_program(params: Params, mels: tuple, key,
         fpf = (target + 2 * overlap) // cfg.total_scale
         slab_rows = min(slab_rows, max(
             8, (_pallas_max_rows(cfg, fpf, fast_math) // 8) * 8))
-    SLAB = min(slab_rows, -(-total_folds // 8) * 8)
+    SLAB = min(slab_rows, _row_bucket(total_folds))
     n_slabs = max(1, -(-total_folds // SLAB))
     padded = n_slabs * SLAB
     if padded != total_folds:
@@ -858,8 +903,8 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
         waveforms; the device->host copy is started asynchronously so the
         caller can dispatch the NEXT batch before collecting this one
         (double-buffered serving hides the readback behind compute).
-      slab_rows: sampling-batch rows per kernel pass (default 32, the
-        measured throughput knee on v5e); expose for on-chip tuning.
+      slab_rows: sampling-batch rows per kernel pass (default 64 — the r4
+        sweep's best measured row count on v5e); expose for on-chip tuning.
     Returns: list of float32 waveforms (length (F_i - 1) * hop each), or a
       collector returning that list when ``block=False``.
     """

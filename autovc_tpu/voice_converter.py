@@ -103,6 +103,15 @@ class VoiceConverter:
             wav = io.resample(wav, audio.sr, self.SE.config.spectrogram.sr)
         return SEm.embed_utterance(self.SE.params, wav, self.SE.config)
 
+    def _embed_many(self, audios) -> list:
+        """d-vectors for several utterances in ONE device dispatch
+        (speaker_encoder.embed_utterances) — the batch-serving path."""
+        from autovc_tpu.models import speaker_encoder as SEm
+        se_sr = self.SE.config.spectrogram.sr
+        wavs = [a.wav if a.sr == se_sr else io.resample(a.wav, a.sr, se_sr)
+                for a in audios]
+        return SEm.embed_utterances(self.SE.params, wavs, self.SE.config)
+
     def _ae_params(self, use_ema: bool):
         """Auto-encoder params, optionally the EMA-smoothed copy saved by
         training (rides in the checkpoint as ``ema_params``)."""
@@ -354,14 +363,15 @@ class VoiceConverter:
         # Stage 1: preprocessing + embedding on host, mel + slicing on
         # device (only the raw wavs cross the host boundary).
         from autovc_tpu.ops import melspec as dev_mel
-        all_chunks, c_orgs = [], []
+        all_chunks, audios = [], []
         for src in sources:
             audio = Audio(src, sr)
             audio.preprocess(*preprocess, **preprocess_args)
             chunks, _ = dev_mel.mel_spec_auto_encoder_sliced(
                 audio.wav, ae_cfg.spectrogram, overlap=overlap)
             all_chunks.append(chunks)
-            c_orgs.append(self._embed(audio))
+            audios.append(audio)
+        c_orgs = self._embed_many(audios)
 
         ae_params = self._ae_params(use_ema)
         if parallel == "pipeline":

@@ -340,19 +340,34 @@ def test_generate_produces_audio(wavernn_pair):
 
 
 def test_auto_fold_target_geometry():
-    """Ladder selection: short audio -> short folds (fewer sequential
-    steps), long audio -> longer folds than the reference's fixed 11000
-    (fewer crossfade seams), fold count near the ~32-row kernel knee."""
+    """Wall-model selection (r4): short audio -> short folds (fewer
+    sequential steps, more kernel rows — per-row cost falls to 64 rows per
+    the measured _ROWS_US table), long audio -> longer folds than the
+    reference's fixed 11000 (fewer crossfade seams)."""
     # 7 s at 22.05 kHz: the reference's fixed target gives ~15 folds x
-    # 12100 steps; auto picks 5500 -> ~28 folds x 6600 steps.
-    assert WR.auto_fold_target(7 * 22050) == 5500
+    # 12100 steps; the wall model picks 2750 -> ~47 folds x 3850 steps.
+    assert WR.auto_fold_target(7 * 22050) == 2750
     assert WR.auto_fold_target(22050) == 1375          # 1 s clip
     assert WR.auto_fold_target(60 * 22050) == 22000    # 1 min clip
-    assert WR.auto_fold_target(600 * 22050) == 22000   # capped at ladder top
+    # 10 min: 1146 folds either way — the model picks the step-count
+    # minimum among full-64-row tilings (11000 edges out 22000 by ~2%)
+    assert WR.auto_fold_target(600 * 22050) == 11000
     assert WR.auto_fold_target(1) == 1375              # degenerate input
     # every ladder value keeps the compile-variant count bounded
     for secs in (0.5, 1, 3, 7, 20, 60, 300):
         assert WR.auto_fold_target(int(secs * 22050)) in WR._TARGET_LADDER
+
+
+def test_row_bucket_ladder():
+    """Row bucketing skips the measured 40-row anomaly and tiles beyond
+    64 in 8-multiples (handled as <=64-row passes by the callers)."""
+    assert [WR._row_bucket(n) for n in (1, 8, 9, 24, 33, 40, 49, 64)] \
+        == [8, 8, 16, 24, 48, 48, 64, 64]
+    assert WR._row_bucket(65) == 72
+    # the wall model is monotone-sane: more audio never predicts less work
+    w = [WR._sampling_wall_model(n, 5500, 550)
+         for n in (10_000, 100_000, 1_000_000)]
+    assert w[0] <= w[1] <= w[2]
 
 
 def test_generate_auto_target_produces_audio(wavernn_pair):

@@ -58,3 +58,14 @@ def test_native_faster_than_numpy(sample_wav):
     t_numpy = time.time() - t0
     # multithreaded native should be in the same league as numpy
     assert t_native < t_numpy * 3.0, (t_native, t_numpy)
+
+
+def test_sliced_native_matches_numpy(sample_wav_16k):
+    from autovc_tpu.config import SpeakerMelConfig
+    cfg = SpeakerMelConfig()
+    a, _, _ = dsp.mel_spec_speaker_encoder_sliced(sample_wav_16k, cfg)
+    b, _, _ = dsp.mel_spec_speaker_encoder_sliced(sample_wav_16k, cfg,
+                                                  use_native=True)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, rtol=2e-3,
+                               atol=1e-5 * float(a.max()))
