@@ -82,11 +82,29 @@ class EncoderOut(NamedTuple):
     codes_bwd: jnp.ndarray   # (B, n_bwd, dim_neck)
 
 
+# Single-stream inference latency: below this row count the fused Pallas
+# recurrence kernels (ops/lstm_pallas.py, weights VMEM-resident, time loop
+# in-kernel) replace the XLA scans — the scans pay per-round dispatch
+# latency that dominated the generator at 1-4 MXU rows (r4 ablation:
+# decoder LSTM2 alone was ~70-90% of forward latency).  8 = the kernel's
+# padded sublane row count; larger batches fill the MXU in the scan.
+_LATENCY_KERNEL_MAX_ROWS = 8
+
+
+def _fast_recurrence(train: bool, axis_name, B: int) -> bool:
+    return (not train and axis_name is None
+            and B <= _LATENCY_KERNEL_MAX_ROWS
+            and jax.default_backend() == "tpu")
+
+
 def encoder(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
             freq: int, dim_neck: int, train: bool = False,
-            axis_name: str | None = None):
+            axis_name: str | None = None,
+            fast_kernels: bool | None = None):
     """(B, n_mels, T), (B, emb) -> downsampled codes.  Returns
-    (EncoderOut, new_encoder_params)."""
+    (EncoderOut, new_encoder_params).  ``fast_kernels``: force the Pallas
+    latency path on/off (None = auto; sharded callers pass False — a
+    pallas_call inside a GSPMD-partitioned program has no sharding rule)."""
     T = x.shape[-1]
     h = jnp.concatenate(
         [x, jnp.broadcast_to(c_org[:, :, None],
@@ -97,7 +115,13 @@ def encoder(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
                           axis_name=axis_name)
         new_convs.append(p2)
     h = jnp.swapaxes(h, 1, 2)                       # (B, T, 512)
-    out = R.bilstm_stack(params["blstm"], h)        # (B, T, 2*neck)
+    fast = (_fast_recurrence(train, axis_name, h.shape[0])
+            if fast_kernels is None else fast_kernels)
+    if fast:
+        from autovc_tpu.ops import lstm_pallas as LP
+        out = LP.bilstm_stack_pallas(params["blstm"], h)
+    else:
+        out = R.bilstm_stack(params["blstm"], h)    # (B, T, 2*neck)
     out_f, out_b = out[..., :dim_neck], out[..., dim_neck:]
     codes_fwd = out_f[:, freq - 1::freq, :]
     codes_bwd = out_b[:, ::freq, :]
@@ -120,9 +144,16 @@ def upsample_codes(codes_fwd: jnp.ndarray, codes_bwd: jnp.ndarray,
 
 
 def decoder(params: Params, x: jnp.ndarray, train: bool = False,
-            axis_name: str | None = None):
+            axis_name: str | None = None,
+            fast_kernels: bool | None = None):
     """(B, T, 2*neck+emb) -> (B, T, n_mels).  Returns (mel, new_params)."""
-    h, _, _ = R.lstm_stack(params["lstm1"], x)
+    fast = (_fast_recurrence(train, axis_name, x.shape[0])
+            if fast_kernels is None else fast_kernels)
+    if fast:
+        from autovc_tpu.ops import lstm_pallas as LP
+        h = LP.lstm_stack_pallas(params["lstm1"], x)
+    else:
+        h, _, _ = R.lstm_stack(params["lstm1"], x)
     h = jnp.swapaxes(h, 1, 2)
     new_convs = []
     for p in params["convs"]:
@@ -130,7 +161,11 @@ def decoder(params: Params, x: jnp.ndarray, train: bool = False,
                           axis_name=axis_name)
         new_convs.append(p2)
     h = jnp.swapaxes(h, 1, 2)
-    h, _, _ = R.lstm_stack(params["lstm2"], h)
+    if fast:
+        from autovc_tpu.ops import lstm_pallas as LP
+        h = LP.lstm_stack_pallas(params["lstm2"], h)
+    else:
+        h, _, _ = R.lstm_stack(params["lstm2"], h)
     mel = C.linear(params["proj"], h)
     return mel, dict(params, convs=new_convs)
 
@@ -170,18 +205,23 @@ def content_codes(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
 
 def forward(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
             c_trg: jnp.ndarray, cfg: AutoEncoderConfig,
-            train: bool = False, axis_name: str | None = None):
+            train: bool = False, axis_name: str | None = None,
+            fast_kernels: bool | None = None):
     """Full generator pass.
 
     Args:
       x: (B, n_mels, T) mel batch; c_org/c_trg: (B, dim_emb) embeddings.
+      fast_kernels: force the Pallas latency recurrences on/off
+        (None = auto: on for small-batch TPU inference; GSPMD-sharded
+        callers must pass False).
     Returns:
       (mel_decoder, mel_postnet, content_codes, new_params) with mels in
       (B, n_mels, T) — mirroring model.py:68-146.
     """
     T = x.shape[-1]
     enc, enc_new = encoder(params["encoder"], x, c_org, cfg.freq,
-                           cfg.dim_neck, train=train, axis_name=axis_name)
+                           cfg.dim_neck, train=train, axis_name=axis_name,
+                           fast_kernels=fast_kernels)
     codes = _flatten_codes(enc)
 
     up = upsample_codes(enc.codes_fwd, enc.codes_bwd, cfg.freq, T)
@@ -189,7 +229,8 @@ def forward(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
         [up, jnp.broadcast_to(c_trg[:, None, :], (x.shape[0], T,
                                                   c_trg.shape[-1]))], axis=-1)
     mel_dec, dec_new = decoder(params["decoder"], dec_in, train=train,
-                               axis_name=axis_name)
+                               axis_name=axis_name,
+                               fast_kernels=fast_kernels)
     mel_dec = jnp.swapaxes(mel_dec, 1, 2)           # (B, n_mels, T)
     residual, post_new = postnet(params["postnet"], mel_dec, train=train,
                                  axis_name=axis_name)

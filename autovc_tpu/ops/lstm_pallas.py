@@ -1,0 +1,199 @@
+"""Pallas TPU kernel for small-batch LSTM stack inference.
+
+Why a kernel: single-utterance AE conversion runs the decoder recurrences
+at 1-4 MXU rows, where the XLA scan pays ~3-5 us of loop/dispatch overhead
+per sequential round — the 2x1024 decoder stack alone was ~70-90% of the
+whole generator's latency (r4 ablation: 2.2-4.1 ms of a ~3 ms forward).
+Here the WHOLE stack is ONE kernel invocation:
+
+  * every recurrent weight (w_hh per layer, w_ih + bias for layers >= 1)
+    is resident in VMEM (2x1024 stack: ~24 MB bf16 — v5e VMEM holds it);
+  * layer 0's input projection is hoisted to one time-parallel MXU matmul
+    in XLA (exactly as the scan path does);
+  * the L layers run SKEWED inside one in-kernel ``fori_loop``: round s
+    advances layer l at timestep t = s - l, so the stack finishes in
+    T + L - 1 rounds whose only cost is L-G chained small matmuls;
+  * G independent recurrences (the two directions of a BLSTM layer) batch
+    into the same rounds.
+
+Inference-only: the training path keeps the XLA scan with the hand-derived
+VJP (ops/rnn.py:_lstm_core) — this kernel has no backward.
+
+Numerics: matmuls in bf16 operands / f32 accumulation when ``fast_math``
+(H >= 256 routing mirrors ops/precision.rec_dot), f32 otherwise; the cell
+elementwise math is always f32.  Parity vs ops.rnn.lstm_stack is tested in
+tests/test_lstm_pallas.py (interpret mode on CPU, hardware on TPU).
+
+Reference being replaced: the cuDNN LSTM stacks of
+auto_encoder/decoder.py:37-77 and encoder.py:51 (via models/autoencoder).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from autovc_tpu.ops import precision as PREC
+
+
+def _kernel(xp_ref,        # (T + L - 1, G, Bp, 4H) f32
+            whh_ref,       # (L, G, H, 4H) cdt
+            wih_ref,       # (L-1, G, H, 4H) cdt, or (1, G, 8, 128) dummy
+            b_ref,         # (max(L-1,1), G, Bp, 4H) f32
+            out_ref,       # (T, G, Bp, H) f32
+            *, T, L, G, Bp, H, cdt):
+    def dot(a, w):
+        return jnp.dot(a.astype(cdt), w.astype(cdt),
+                       preferred_element_type=jnp.float32)
+
+    def rounds(s, carry):
+        hs, cs, ys = carry                    # each: tuple of L x (G,Bp,H)
+        t0 = jnp.minimum(s, T - 1)
+        xp_t = xp_ref[t0]                     # (G, Bp, 4H) f32
+        new_h, new_c, new_y = [], [], []
+        for l in range(L):
+            gs = []
+            for g in range(G):
+                inp = (xp_t[g] if l == 0
+                       else dot(ys[l - 1][g], wih_ref[l - 1, g])
+                       + b_ref[l - 1, g])
+                gs.append(inp + dot(hs[l][g], whh_ref[l, g]))
+            gates = jnp.stack(gs)             # (G, Bp, 4H) f32
+            ai, af, ag, ao = jnp.split(gates, 4, axis=-1)
+            i, f, o = (jax.nn.sigmoid(ai), jax.nn.sigmoid(af),
+                       jax.nn.sigmoid(ao))
+            gg = jnp.tanh(ag)
+            c_new = f * cs[l] + i * gg
+            h_new = o * jnp.tanh(c_new)
+            t_l = s - l
+            live = jnp.logical_and(t_l >= 0, t_l < T)
+            new_h.append(jnp.where(live, h_new, hs[l]))
+            new_c.append(jnp.where(live, c_new, cs[l]))
+            new_y.append(jnp.where(live, h_new, ys[l]))
+
+        @pl.when(s >= L - 1)
+        def _():
+            out_ref[pl.ds(s - (L - 1), 1)] = new_h[L - 1][None]
+
+        return tuple(new_h), tuple(new_c), tuple(new_y)
+
+    zero = tuple(jnp.zeros((G, Bp, H), jnp.float32) for _ in range(L))
+    jax.lax.fori_loop(0, T + L - 1, rounds, (zero, zero, zero))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+_VMEM_BUDGET = 120 * 1024 * 1024
+
+
+def _fits_vmem(T: int, L: int, G: int, B: int, H: int, cdt_bytes: int) -> bool:
+    """Static VMEM footprint estimate for the fused stack kernel (xp +
+    weights + output + slack); callers fall back to the XLA scan when it
+    does not fit (e.g. the 2x1024 stack in exact-f32 mode)."""
+    Bp = max(8, _round_up(B, 8))
+    xp = (T + L - 1) * G * Bp * 4 * H * 4
+    w = (L + max(L - 1, 0)) * G * H * 4 * H * cdt_bytes
+    out = T * G * Bp * H * 4
+    return xp + w + out + (8 << 20) < _VMEM_BUDGET
+
+
+@functools.partial(jax.jit, static_argnames=("fast_math", "interpret"))
+def _stack_core(xp0, whh, wih, b, fast_math: bool, interpret: bool):
+    """xp0: (T, G, B, 4H) layer-0 projections (+ its biases).
+    Returns ys: (T, G, B, H) last-layer outputs."""
+    T, G, B, H4 = xp0.shape
+    L = whh.shape[0]
+    H = H4 // 4
+    cdt = jnp.bfloat16 if (fast_math and H >= PREC.REC_BF16_MIN_HIDDEN) \
+        else jnp.float32
+    Bp = max(8, _round_up(B, 8))
+    if Bp != B:
+        xp0 = jnp.pad(xp0, ((0, 0), (0, 0), (0, Bp - B), (0, 0)))
+    if L > 1:
+        xp0 = jnp.pad(xp0, ((0, L - 1), (0, 0), (0, 0), (0, 0)))
+        wih = wih.astype(cdt)
+        bb = jnp.broadcast_to(b[:, :, None, :], (L - 1, G, Bp, H4))
+    else:
+        wih = jnp.zeros((1, G, 8, 128), cdt)      # never indexed
+        bb = jnp.zeros((1, G, Bp, H4), jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_kernel, T=T, L=L, G=G, Bp=Bp, H=H, cdt=cdt),
+        out_shape=jax.ShapeDtypeStruct((T, G, Bp, H), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET),
+        interpret=interpret,
+    )(xp0, whh.astype(cdt), wih, bb)
+    return out[:, :, :B]
+
+
+def _hoist_xp0(params0, x):
+    return (PREC.dot(x, params0["w_ih"]) + params0["b_ih"]
+            + params0["b_hh"])
+
+
+def lstm_stack_pallas(params: Sequence, x: jnp.ndarray,
+                      interpret: bool = False):
+    """Uniform-H LSTM stack inference, one fused kernel.
+
+    Same contract as :func:`autovc_tpu.ops.rnn.lstm_stack` (outputs only —
+    final states are not returned; the AE inference paths never use them).
+    Requirements: all layers share hidden size H and layers >= 1 take H-dim
+    inputs (any ``init_lstm_stack`` stack qualifies).
+    """
+    L = len(params)
+    B, T, _ = x.shape
+    H = params[0]["w_hh"].shape[0]
+    fast = PREC.mode() == "bf16"
+    cdt_bytes = 2 if (fast and H >= PREC.REC_BF16_MIN_HIDDEN) else 4
+    if not (interpret or _fits_vmem(T, L, 1, B, H, cdt_bytes)):
+        from autovc_tpu.ops import rnn as R
+        return R.lstm_stack(params, x)[0]
+    xp0 = jnp.swapaxes(_hoist_xp0(params[0], x), 0, 1)[:, None]  # (T,1,B,4H)
+    whh = jnp.stack([p["w_hh"] for p in params])[:, None]        # (L,1,H,4H)
+    if L > 1:
+        wih = jnp.stack([p["w_ih"] for p in params[1:]])[:, None]
+        b = jnp.stack([p["b_ih"] + p["b_hh"]
+                       for p in params[1:]])[:, None]
+    else:
+        wih = whh[:1, :, :1, :1]                                 # dummy
+        b = jnp.zeros((1, 1) + params[0]["b_ih"].shape, x.dtype)
+    ys = _stack_core(xp0, whh, wih, b, fast, interpret)          # (T,1,B,H)
+    return jnp.swapaxes(ys[:, 0], 0, 1)
+
+
+def bilstm_stack_pallas(params: Sequence, x: jnp.ndarray,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Bidirectional stack inference: per layer, both directions run as
+    G=2 batched recurrences of one kernel round (same contract as
+    :func:`autovc_tpu.ops.rnn.bilstm_stack`).  Layers cannot skew (layer
+    l+1 consumes BOTH directions of layer l), so each layer is one kernel
+    call."""
+    fast = PREC.mode() == "bf16"
+    H = params[0]["fwd"]["w_hh"].shape[0]
+    cdt_bytes = 2 if (fast and H >= PREC.REC_BF16_MIN_HIDDEN) else 4
+    if not (interpret or _fits_vmem(x.shape[1], 1, 2, x.shape[0], H,
+                                    cdt_bytes)):
+        from autovc_tpu.ops import rnn as R
+        return R.bilstm_stack(params, x)
+    for lp in params:
+        B, T, _ = x.shape
+        xp_f = jnp.swapaxes(_hoist_xp0(lp["fwd"], x), 0, 1)
+        xp_b = jnp.swapaxes(
+            _hoist_xp0(lp["bwd"], jnp.flip(x, axis=1)), 0, 1)
+        xp0 = jnp.stack([xp_f, xp_b], axis=1)                 # (T,2,B,4H)
+        whh = jnp.stack([lp["fwd"]["w_hh"], lp["bwd"]["w_hh"]])[None]
+        wih = whh                                             # unused (L=1)
+        b = jnp.zeros((1, 2) + lp["fwd"]["b_ih"].shape, xp0.dtype)
+        ys = _stack_core(xp0, whh, wih, b, fast, interpret)   # (T,2,B,H)
+        out_f = jnp.swapaxes(ys[:, 0], 0, 1)
+        out_b = jnp.flip(jnp.swapaxes(ys[:, 1], 0, 1), axis=1)
+        x = jnp.concatenate([out_f, out_b], axis=-1)
+    return x

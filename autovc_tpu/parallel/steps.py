@@ -179,8 +179,10 @@ def chunk_sharded_convert(params, chunks, c_org, c_trg, valid_rows, cfg,
     c_org_b = jnp.broadcast_to(c_org, (M, c_org.shape[-1]))
     c_trg_b = jnp.broadcast_to(c_trg, (M, c_trg.shape[-1]))
     with PREC.compute(PREC.resolve(precision)):
+        # fast_kernels=False: this program is GSPMD-partitioned over the
+        # mesh; the Pallas latency kernels carry no sharding rule
         _, mel_post, _, _ = AE.forward(params, chunks, c_org_b, c_trg_b,
-                                       cfg, train=False)
+                                       cfg, train=False, fast_kernels=False)
     step = int(N * (1 - overlap))
     total = N + (M - 1) * step
     rows = jnp.arange(M, dtype=jnp.int32)

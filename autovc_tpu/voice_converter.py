@@ -146,6 +146,7 @@ class VoiceConverter:
                 audio_log_dict: Dict[str, Any] | None = None,
                 seed: int = 0, use_ema: bool = False,
                 pad_to_seconds: float | None = None,
+                partial_frames: int | None = None,
                 parallel: str | None = None, mesh=None):
         """Convert the content of ``source`` into the voice of ``target``.
 
@@ -161,6 +162,14 @@ class VoiceConverter:
         true duration: every program in the pipeline then compiles for at
         most duration/s distinct shapes, so arbitrary-length inputs reuse
         the persistent compilation cache (see scripts/prewarm_cache.py).
+
+        ``partial_frames`` overrides the mel chunk length (default: the
+        reference's 400 frames, hparams.py:15).  Single-stream latency is
+        floored by sequential-steps x per-step weight streaming, so
+        shorter chunks cut latency nearly linearly (128 frames ~ 3x lower
+        AE latency at 1-8 MXU rows) at the cost of more overlap-add seams
+        and less recurrent context per chunk — a serving-latency knob, not
+        a quality default.
 
         ``parallel`` selects a multi-device auto-encoder strategy over
         ``mesh`` (default: a 1-D 'data' mesh over all devices):
@@ -205,6 +214,9 @@ class VoiceConverter:
                                            preprocess_args, sr)[None]
 
         ae_cfg = self.AE.config
+        if partial_frames is not None:
+            ae_cfg = ae_cfg.with_overrides(
+                spectrogram={"partial_utterance_n_frames": partial_frames})
         mel_cfg = ae_cfg.spectrogram
         ae_params = self._ae_params(use_ema)
         # The mel front-end, chunk slicing, AE and vocoder all run on

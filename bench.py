@@ -160,7 +160,25 @@ def main():
             lambda i: AE.batch_forward_jit(ae_params, chunks, c, c, ae_cfg,
                                            0.5, "bf16"), repeats=3)
         entries.append(RL.account("ae_convert(bf16)", fl, by, ae_dt_p,
-                                  spec, compute_dtype="bf16"))
+                                  spec, compute_dtype="bf16",
+                                  sequential_steps=N))
+        # Low-latency chunk geometry (the convert(partial_frames=) knob):
+        # single-stream recurrence latency is floored by sequential steps
+        # x per-step weight streaming, so the 128-frame chunking trades
+        # overlap seams for ~3x lower latency — recorded as its own leg.
+        ae_cfg_ll = ae_cfg.with_overrides(
+            spectrogram={"partial_utterance_n_frames": 128})
+        chunks_ll, _ = dev_mel.mel_spec_auto_encoder_sliced(
+            wav, ae_cfg_ll.spectrogram)
+        Mll, _, Nll = chunks_ll.shape
+        fl_ll, by_ll = RL.ae_forward_cost(ae_cfg_ll, Mll, Nll)
+        ll_dt, _, _ = _timeit(
+            lambda i: AE.batch_forward_jit(ae_params, chunks_ll, c, c,
+                                           ae_cfg_ll, 0.5, "bf16"),
+            repeats=3)
+        entries.append(RL.account("ae_convert_lowlat(bf16)", fl_ll, by_ll,
+                                  ll_dt, spec, compute_dtype="bf16",
+                                  sequential_steps=Nll))
         # The M-chunk single-utterance rows above are LATENCY-bound (the
         # decoder scans run at 1-2 MXU rows); the serving slab shows the
         # throughput story at production row counts.

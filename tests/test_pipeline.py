@@ -177,3 +177,18 @@ def test_train_with_conversion_examples(vc, short_wav):
     assert os.path.isdir("results/training_examples")
     assert any(f.endswith(".wav")
                for f in os.listdir("results/training_examples"))
+
+
+def test_convert_partial_frames_latency_knob(vc, short_wav):
+    """partial_frames overrides the chunk length (the single-stream
+    latency knob): output is finite, non-silent, and near the default
+    path's length."""
+    out_default = vc.convert(short_wav, f"{SAMPLES}/HaegueYang_5.wav",
+                             save_name=False)
+    out_short = vc.convert(short_wav, f"{SAMPLES}/HaegueYang_5.wav",
+                           save_name=False, partial_frames=32)
+    w = out_short.wav
+    assert np.isfinite(w).all() and np.sqrt((w ** 2).mean()) > 1e-4
+    # chunk geometry changes coverage of the trailing partial window, so
+    # lengths may differ by up to one chunk, not more
+    assert abs(len(w) - len(out_default.wav)) <= 32 * 275 * 2
