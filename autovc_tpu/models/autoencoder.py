@@ -99,12 +99,9 @@ def _fast_recurrence(train: bool, axis_name, B: int) -> bool:
 
 def encoder(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
             freq: int, dim_neck: int, train: bool = False,
-            axis_name: str | None = None,
-            fast_kernels: bool | None = None):
+            axis_name: str | None = None):
     """(B, n_mels, T), (B, emb) -> downsampled codes.  Returns
-    (EncoderOut, new_encoder_params).  ``fast_kernels``: force the Pallas
-    latency path on/off (None = auto; sharded callers pass False — a
-    pallas_call inside a GSPMD-partitioned program has no sharding rule)."""
+    (EncoderOut, new_encoder_params)."""
     T = x.shape[-1]
     h = jnp.concatenate(
         [x, jnp.broadcast_to(c_org[:, :, None],
@@ -115,13 +112,12 @@ def encoder(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
                           axis_name=axis_name)
         new_convs.append(p2)
     h = jnp.swapaxes(h, 1, 2)                       # (B, T, 512)
-    fast = (_fast_recurrence(train, axis_name, h.shape[0])
-            if fast_kernels is None else fast_kernels)
-    if fast:
-        from autovc_tpu.ops import lstm_pallas as LP
-        out = LP.bilstm_stack_pallas(params["blstm"], h)
-    else:
-        out = R.bilstm_stack(params["blstm"], h)    # (B, T, 2*neck)
+    # The dim_neck=32 BLSTM stays on the unrolled XLA scan at every batch
+    # size: its weights are KB-scale, so the scan is loop-overhead-bound
+    # and unroll=8 amortises that better than a per-round kernel does
+    # (measured r4: the kernel only wins streaming-bound stacks; see
+    # decoder LSTM2).
+    out = R.bilstm_stack(params["blstm"], h)        # (B, T, 2*neck)
     out_f, out_b = out[..., :dim_neck], out[..., dim_neck:]
     codes_fwd = out_f[:, freq - 1::freq, :]
     codes_bwd = out_b[:, ::freq, :]
@@ -149,11 +145,9 @@ def decoder(params: Params, x: jnp.ndarray, train: bool = False,
     """(B, T, 2*neck+emb) -> (B, T, n_mels).  Returns (mel, new_params)."""
     fast = (_fast_recurrence(train, axis_name, x.shape[0])
             if fast_kernels is None else fast_kernels)
-    if fast:
-        from autovc_tpu.ops import lstm_pallas as LP
-        h = LP.lstm_stack_pallas(params["lstm1"], x)
-    else:
-        h, _, _ = R.lstm_stack(params["lstm1"], x)
+    # lstm1 (512): ~2 MB bf16 resident weights — not streaming-bound, the
+    # unrolled scan wins (r4 measurement); only LSTM2 uses the kernel.
+    h, _, _ = R.lstm_stack(params["lstm1"], x)
     h = jnp.swapaxes(h, 1, 2)
     new_convs = []
     for p in params["convs"]:
@@ -220,8 +214,7 @@ def forward(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
     """
     T = x.shape[-1]
     enc, enc_new = encoder(params["encoder"], x, c_org, cfg.freq,
-                           cfg.dim_neck, train=train, axis_name=axis_name,
-                           fast_kernels=fast_kernels)
+                           cfg.dim_neck, train=train, axis_name=axis_name)
     codes = _flatten_codes(enc)
 
     up = upsample_codes(enc.codes_fwd, enc.codes_bwd, cfg.freq, T)

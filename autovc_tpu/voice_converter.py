@@ -374,15 +374,22 @@ class VoiceConverter:
         ae_cfg = self.AE.config
         # Stage 1: preprocessing + embedding on host, mel + slicing on
         # device (only the raw wavs cross the host boundary).
+        from concurrent.futures import ThreadPoolExecutor
+
         from autovc_tpu.ops import melspec as dev_mel
-        all_chunks, audios = [], []
-        for src in sources:
+
+        def _load(src):
             audio = Audio(src, sr)
             audio.preprocess(*preprocess, **preprocess_args)
-            chunks, _ = dev_mel.mel_spec_auto_encoder_sliced(
-                audio.wav, ae_cfg.spectrogram, overlap=overlap)
-            all_chunks.append(chunks)
-            audios.append(audio)
+            return audio
+
+        # host preprocessing is per-utterance independent numpy (load,
+        # resample, VAD/normalize) — thread it; device dispatch stays on
+        # this thread
+        with ThreadPoolExecutor(max_workers=min(8, len(sources) or 1)) as ex:
+            audios = list(ex.map(_load, sources))
+        all_chunks = [dev_mel.mel_spec_auto_encoder_sliced(
+            a.wav, ae_cfg.spectrogram, overlap=overlap)[0] for a in audios]
         c_orgs = self._embed_many(audios)
 
         ae_params = self._ae_params(use_ema)
@@ -421,10 +428,9 @@ class VoiceConverter:
                                      self.vocoder.config,
                                      key=jax.random.PRNGKey(seed),
                                      backend=self.vocoder_backend)
-        outs = []
-        for src, wav in zip(sources, wavs):
-            audio_out = Audio(wav, sr=sr,
-                              sr_org=ae_cfg.spectrogram.sr)
+        def _finish_out(src_wav):
+            src, wav = src_wav
+            audio_out = Audio(wav, sr=sr, sr_org=ae_cfg.spectrogram.sr)
             audio_out.preprocess(*outprocess, **outprocess_args)
             if save_dir is not None:
                 os.makedirs(save_dir, exist_ok=True)
@@ -432,8 +438,10 @@ class VoiceConverter:
                 trg = os.path.splitext(os.path.basename(str(target)))[0]
                 audio_out.save(os.path.join(save_dir,
                                             f"{name}_to_{trg}.wav"))
-            outs.append(audio_out)
-        return outs
+            return audio_out
+
+        with ThreadPoolExecutor(max_workers=min(8, len(sources) or 1)) as ex:
+            return list(ex.map(_finish_out, zip(sources, wavs)))
 
     def convert_multiple(self, sources, targets,
                          match_method: str = "all_combinations",

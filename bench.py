@@ -392,26 +392,37 @@ def main():
     se_cfg = SpeakerEncoderConfig()
     se_params = SEm.init(jax.random.PRNGKey(1), se_cfg)
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _prep(pw):
+        p, w = pw
+        audio = Audio(p, 22050) if p else Audio(w.copy(), sr=22050,
+                                                sr_org=22050)
+        audio.preprocess("normalize_volume")
+        return audio, io.resample(audio.wav, audio.sr,
+                                  se_cfg.spectrogram.sr)
+
+    def _post(o):
+        out_audio = Audio(o, sr=22050, sr_org=22050)
+        out_audio.preprocess("normalize_volume", "remove_noise")
+
     def e2e_serve(seed):
-        all_chunks, wavs16 = [], []
-        for p, w in zip(paths or [None] * len(wavs), wavs):
-            audio = Audio(p, 22050) if p else Audio(w.copy(), sr=22050,
-                                                    sr_org=22050)
-            audio.preprocess("normalize_volume")
-            wavs16.append(io.resample(audio.wav, audio.sr,
-                                      se_cfg.spectrogram.sr))
-            chunks_i, _ = dev_mel.mel_spec_auto_encoder_sliced(
-                audio.wav, ae_cfg.spectrogram)
-            all_chunks.append(chunks_i)
-        embeds = SEm.embed_utterances(se_params, wavs16, se_cfg)
+        # mirrors VoiceConverter.convert_batch incl. its threaded host
+        # pre/post-processing (numpy FFT/resample release the GIL)
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            prepped = list(ex.map(_prep,
+                                  zip(paths or [None] * len(wavs), wavs)))
+        all_chunks = [dev_mel.mel_spec_auto_encoder_sliced(
+            a.wav, ae_cfg.spectrogram)[0] for a, _ in prepped]
+        embeds = SEm.embed_utterances(se_params,
+                                      [w16 for _, w16 in prepped], se_cfg)
         packed, starts, lengths = AE.batch_forward_packed(
             ae_params, all_chunks, embeds, c, ae_cfg, 0.5, "auto")
         post_mels = [packed[:, s:s + L] for s, L in zip(starts, lengths)]
         outs = WR.generate_many(wr_params, post_mels, wr_cfg,
                                 key=jax.random.PRNGKey(seed))
-        for o in outs:
-            out_audio = Audio(o, sr=22050, sr_org=22050)
-            out_audio.preprocess("normalize_volume", "remove_noise")
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(_post, outs))
         return None
 
     e2e_serve(0)                   # compile / warm every stage
