@@ -321,6 +321,16 @@ def main():
     wav_out = WR.generate(wr_params, np.asarray(post)[None], wr_cfg,
                           key=jax.random.PRNGKey(123), backend=backend)
     single_latency = time.time() - t0
+    # a blocked one-shot call pays 2-3 host<->device round-trips; on the
+    # tunneled test chip the RTT dominates it, so record the RTT so
+    # convert_latency_ms reads as (k * rtt + device time), not chip time
+    one = jax.device_put(np.ones((1,), np.float32))
+    rtts = []
+    for _ in range(5):
+        t0 = time.time()
+        np.asarray(one + 1.0)
+        rtts.append(time.time() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
 
     # ---- batch serving: every bundled utterance in one pass -------------
     # Production path (VoiceConverter.convert_batch): fixed-row AE slabs +
@@ -439,6 +449,7 @@ def main():
         "convert_audio_seconds_per_second_per_chip": round(single_throughput,
                                                            3),
         "convert_latency_ms": round(single_latency * 1e3, 1),
+        "host_device_rtt_ms": round(rtt * 1e3, 1),
         "train_audio_seconds_per_second_per_chip": round(train_throughput, 3),
         "train_ms_per_step": round(train_dt * 1e3, 2),
         "wavernn_samples_per_second": round(sample_rate, 0),
