@@ -215,6 +215,11 @@ class VoiceConverter:
 
         ae_cfg = self.AE.config
         if partial_frames is not None:
+            if partial_frames < ae_cfg.freq:
+                raise ValueError(
+                    f"partial_frames must be >= the encoder's downsampling "
+                    f"freq ({ae_cfg.freq}): shorter chunks produce no "
+                    f"forward content codes")
             ae_cfg = ae_cfg.with_overrides(
                 spectrogram={"partial_utterance_n_frames": partial_frames})
         mel_cfg = ae_cfg.spectrogram

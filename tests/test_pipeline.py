@@ -192,3 +192,9 @@ def test_convert_partial_frames_latency_knob(vc, short_wav):
     # chunk geometry changes coverage of the trailing partial window, so
     # lengths may differ by up to one chunk, not more
     assert abs(len(w) - len(out_default.wav)) <= 32 * 275 * 2
+
+
+def test_convert_partial_frames_below_freq_raises(vc, short_wav):
+    with pytest.raises(ValueError):
+        vc.convert(short_wav, f"{SAMPLES}/HaegueYang_5.wav",
+                   save_name=False, partial_frames=16)
