@@ -56,13 +56,21 @@ def _kernel(xp_ref,        # (T + L - 1, G, Bp, 4H) f32
         xp_t = xp_ref[t0]                     # (G, Bp, 4H) f32
         new_h, new_c, new_y = [], [], []
         for l in range(L):
-            gs = []
-            for g in range(G):
-                inp = (xp_t[g] if l == 0
-                       else dot(ys[l - 1][g], wih_ref[l - 1, g])
-                       + b_ref[l - 1, g])
-                gs.append(inp + dot(hs[l][g], whh_ref[l, g]))
-            gates = jnp.stack(gs)             # (G, Bp, 4H) f32
+            if G == 1:
+                # 2D specialisation: unit leading dims force relayouts in
+                # every round and blow up Mosaic's vectorizer/compile time
+                inp = (xp_t[0] if l == 0
+                       else dot(ys[l - 1][0], wih_ref[l - 1, 0])
+                       + b_ref[l - 1, 0])
+                gates = (inp + dot(hs[l][0], whh_ref[l, 0]))[None]
+            else:
+                gs = []
+                for g in range(G):
+                    inp = (xp_t[g] if l == 0
+                           else dot(ys[l - 1][g], wih_ref[l - 1, g])
+                           + b_ref[l - 1, g])
+                    gs.append(inp + dot(hs[l][g], whh_ref[l, g]))
+                gates = jnp.stack(gs)         # (G, Bp, 4H) f32
             ai, af, ag, ao = jnp.split(gates, 4, axis=-1)
             i, f, o = (jax.nn.sigmoid(ai), jax.nn.sigmoid(af),
                        jax.nn.sigmoid(ao))
