@@ -168,8 +168,9 @@ class WaveRNNGenerateConfig:
 
     ``target``/``overlap`` reproduce the reference's fixed fold geometry.
     With ``auto_target=True`` (default) the fold length is instead chosen
-    per utterance from a small ladder so the sampling batch lands near the
-    TPU kernel's measured throughput knee (~32 fold rows): long audio gets
+    per utterance from a small ladder by a chip-measured wall model
+    (models/wavernn._sampling_wall_model; per-row kernel cost keeps
+    falling to 64 rows on v5e): long audio gets
     longer folds (fewer crossfade seams than the reference), short audio
     gets shorter folds (fewer wasted sequential steps).  Pass an explicit
     ``target=`` to :func:`models.wavernn.generate` or set

@@ -148,6 +148,37 @@ def ae_train_cost(cfg, batch: int, t: int):
     return total, fwd_bytes * 3
 
 
+def se_train_cost(cfg, speakers: int, utterances: int, t: int):
+    """GE2E train step: 3-layer LSTM stack fwd + ~2x bwd over the
+    (S*U, T, mels) block, plus the projection; similarity-matrix math is
+    negligible.  Bytes: weights (3 passes) + activations in/out per layer
+    per pass."""
+    B = speakers * utterances
+    H, M = cfg.hidden_size, cfg.input_size
+    fwd = lstm_flops(B, t, M, H) + 2 * lstm_flops(B, t, H, H)
+    fwd += matmul_flops(B, H, cfg.embedding_size)
+    weight_bytes = 4 * (4 * H * (M + H) + 2 * 4 * H * 2 * H
+                        + H * cfg.embedding_size)
+    act_bytes = 4 * B * t * (M + 3 * H)
+    return 3 * fwd, 3 * (weight_bytes + act_bytes)
+
+
+def vocoder_train_cost(cfg, batch: int, t_samples: int):
+    """WaveRNN teacher-forced train step: time-parallel GRUs + fc stack
+    fwd + ~2x bwd (MelResNet at frame rate is negligible).  Bytes:
+    weights (3 passes) + sample-rate activations per layer per pass."""
+    rd, fc, d = cfg.rnn_dims, cfg.fc_dims, cfg.aux_dims
+    fwd = gru_flops(batch, t_samples, rd, rd)
+    fwd += gru_flops(batch, t_samples, rd + d, rd)
+    fwd += 2 * batch * t_samples * (
+        (1 + cfg.feat_dims + d) * rd + (rd + d) * fc + (fc + d) * fc
+        + fc * cfg.n_classes)
+    weight_bytes = 4 * (3 * rd * (2 * rd + d) * 2 + (rd + d) * fc
+                       + (fc + d) * fc + fc * cfg.n_classes)
+    act_bytes = 4 * batch * t_samples * (rd * 4 + fc * 2 + cfg.n_classes)
+    return 3 * fwd, 3 * (weight_bytes + act_bytes)
+
+
 def _band_reach(cfg) -> int:
     """One-sided frame reach J of the composite upsample kernel
     (models/wavernn._composite_upsample_kernel)."""

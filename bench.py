@@ -268,6 +268,41 @@ def main():
     def train_once(i):
         return step_fn(*state0, xb, cb)[:3]
 
+    # ---- SE + vocoder train steps (throughput visibility for all three
+    # training loops; device-resident batches as above) ------------------
+    from autovc_tpu.config import SpeakerEncoderConfig
+    from autovc_tpu.models import speaker_encoder as SEm2
+    se_cfg2 = SpeakerEncoderConfig()
+    se_params2 = SEm2.init(jax.random.PRNGKey(2), se_cfg2)
+    se_tx = optax.chain(optax.clip_by_global_norm(3.0), optax.adam(1e-4))
+    se_step = tloop.make_se_step(se_cfg2, se_tx)
+    se_block = jax.device_put(np.random.default_rng(0).random(
+        (8, 6, 160, 40)).astype(np.float32))
+    se_state = (se_params2, se_tx.init(se_params2))
+    se_dt, _, _ = _timeit(lambda i: se_step(*se_state, se_block)[:2],
+                          repeats=3)
+    se_fl, se_by = RL.se_train_cost(se_cfg2, 8, 6, 160)
+    se_dtype = "bf16" if se_cfg2.learn.precision == "bf16" else "f32"
+    entries.append(RL.account("se_train_step", se_fl, se_by, se_dt,
+                              spec, compute_dtype=se_dtype))
+
+    wr_tx = optax.chain(optax.clip_by_global_norm(4.0), optax.adam(1e-4))
+    wr_step = tloop.make_vocoder_step(wr_cfg, wr_tx)
+    hop = wr_cfg.hop_length
+    seqf = 5
+    rngv = np.random.default_rng(1)
+    vm = jax.device_put(rngv.random(
+        (8, 80, seqf + 2 * wr_cfg.pad)).astype(np.float32))
+    vx = jax.device_put(rngv.uniform(
+        -1, 1, (8, seqf * hop)).astype(np.float32))
+    vy = jax.device_put(np.roll(np.asarray(vx), -1, 1))
+    wr_state = (wr_params, wr_tx.init(wr_params))
+    voc_dt, _, _ = _timeit(lambda i: wr_step(*wr_state, vx, vy, vm)[:2],
+                           repeats=3)
+    voc_fl, voc_by = RL.vocoder_train_cost(wr_cfg, 8, seqf * hop)
+    entries.append(RL.account("vocoder_train_step", voc_fl, voc_by,
+                              voc_dt, spec, compute_dtype="bf16"))
+
     train_dt, _, _ = _timeit(train_once, repeats=3)
     fl, by = RL.ae_train_cost(ae_cfg, 16, N)
     # honest denominator: the step's matmul/conv compute policy comes from

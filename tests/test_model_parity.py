@@ -448,3 +448,20 @@ def test_short_output_fades_to_zero(wavernn_pair):
                           batched=batched, target=1100, overlap=275)
         assert wav.shape == (7 * cfg.hop_length,)
         assert wav[-1] == 0.0
+
+
+def test_resolve_backend_gating():
+    """One shared gate decides pallas-vs-xla for every serving path."""
+    cfg = WaveRNNConfig()
+    # unaligned fold geometry -> xla even when pallas is requested
+    assert WR.resolve_backend("pallas", cfg, target=1000, overlap=550) \
+        == "xla"
+    assert WR.resolve_backend("pallas", cfg, target=2750, overlap=550) \
+        == "pallas"
+    # non-128-multiple dims -> xla
+    small = cfg.with_overrides(rnn_dims=96)
+    assert WR.resolve_backend("pallas", small, 2750, 550) == "xla"
+    # interpret mode bypasses the hardware-geometry gate
+    assert WR.resolve_backend("pallas", small, 2750, 550,
+                              interpret=True) == "pallas"
+    assert WR.resolve_backend("xla", cfg, 2750, 550) == "xla"
