@@ -146,12 +146,24 @@ def ge2e_loss(params: Params, embeds: jnp.ndarray) -> jnp.ndarray:
     return -jnp.mean(logp[jnp.arange(S * U), targets])
 
 
+def _forward_train(params: Params, utterances: jnp.ndarray) -> jnp.ndarray:
+    """Training-path forward: per-layer scans whose hand-derived VJP
+    (ops/rnn._lstm_core) keeps the backward's weight gradients out of the
+    scan — the skewed stack `forward` uses has no custom VJP, so its
+    autodiff backward pays a per-round dW outer product.  Numerics are
+    identical to :func:`forward`."""
+    _, (h, _), _ = R.lstm_stack(params["lstm"], utterances)
+    raw = jax.nn.relu(C.linear(params["linear"], h))
+    return raw / jnp.linalg.norm(raw, axis=-1, keepdims=True)
+
+
 def batch_ge2e_loss(params: Params, batch: jnp.ndarray) -> jnp.ndarray:
     """Loss from raw mel batches (S, U, frames, mels): embed every utterance
     as one flat batch (MXU-friendly — the reference loops per speaker,
     model.py:267-272), reshape, apply GE2E."""
     S, U, T, M = batch.shape
-    embeds = forward(params, batch.reshape(S * U, T, M)).reshape(S, U, -1)
+    embeds = _forward_train(params,
+                            batch.reshape(S * U, T, M)).reshape(S, U, -1)
     return ge2e_loss(params, embeds)
 
 
