@@ -766,8 +766,21 @@ def _generate_program(params: Params, mel: jnp.ndarray, key,
             pad_rows = ((0, bucket - n_folds), (0, 0), (0, 0))
             cond = jnp.pad(cond, pad_rows)
             aux = jnp.pad(aux, pad_rows)
-        samples = _generate_scan(params, cond, aux, key, cfg, fast_math,
-                                 unroll)
+        if bucket <= _MAX_SLAB_ROWS:
+            samples = _generate_scan(params, cond, aux, key, cfg, fast_math,
+                                     unroll)
+        else:
+            # long audio: the scan hoists per-row time-parallel projections
+            # (rows x steps x 1536+ f32) — unbounded rows OOM HBM (a 45 s
+            # clip is ~300 rows = ~20 GB of hoisted tensors); tile the fold
+            # rows into bounded slabs exactly like _generate_many_program
+            outs = []
+            for s in range(0, bucket, _MAX_SLAB_ROWS):
+                key, sk = jax.random.split(key)
+                outs.append(_generate_scan(
+                    params, cond[s:s + _MAX_SLAB_ROWS],
+                    aux[s:s + _MAX_SLAB_ROWS], sk, cfg, fast_math, unroll))
+            samples = jnp.concatenate(outs, axis=0)
     samples = samples[:n_folds]
     return _finish(samples, overlap, wave_len, cfg.hop_length, batched,
                    mu_law, cfg.n_classes)

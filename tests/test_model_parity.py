@@ -465,3 +465,24 @@ def test_resolve_backend_gating():
     assert WR.resolve_backend("pallas", small, 2750, 550,
                               interpret=True) == "pallas"
     assert WR.resolve_backend("xla", cfg, 2750, 550) == "xla"
+
+
+def test_generate_long_audio_xla_slab_tiling():
+    """Fold counts beyond _MAX_SLAB_ROWS tile the XLA scan into bounded
+    row slabs (unbounded rows hoist rows x steps x 1536 projections and
+    OOM HBM on ~45 s clips — r4 regression)."""
+    import jax
+    cfg = WaveRNNConfig().with_overrides(
+        res_blocks=1, rnn_dims=16, fc_dims=16, compute_dims=16,
+        res_out_dims=16, generate={"auto_target": False})
+    params = WR.init(jax.random.PRNGKey(0), cfg)
+    target, overlap = 550, 275
+    # enough frames that folds > _MAX_SLAB_ROWS (=64): ~80 folds
+    F = 244
+    mel = np.random.default_rng(0).random((1, 80, F)).astype(np.float32)
+    n_folds = WR._fold_count((F - 1) * cfg.hop_length, target, overlap)
+    assert n_folds > WR._MAX_SLAB_ROWS
+    out = WR.generate(params, mel, cfg, key=jax.random.PRNGKey(1),
+                      target=target, overlap=overlap, backend="xla")
+    assert out.shape == ((F - 1) * cfg.hop_length,)
+    assert np.isfinite(out).all()
