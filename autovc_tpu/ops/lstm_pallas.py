@@ -83,14 +83,25 @@ def _kernel(xp_ref,        # (T + L - 1, G, Bp, 4H) f32
             new_c.append(jnp.where(live, c_new, cs[l]))
             new_y.append(jnp.where(live, h_new, ys[l]))
 
-        @pl.when(s >= L - 1)
+        t_out = s - (L - 1)
+
+        @pl.when(jnp.logical_and(t_out >= 0, t_out < T))
         def _():
-            out_ref[pl.ds(s - (L - 1), 1)] = new_h[L - 1][None]
+            out_ref[pl.ds(t_out, 1)] = new_h[L - 1][None]
 
         return tuple(new_h), tuple(new_c), tuple(new_y)
 
     zero = tuple(jnp.zeros((G, Bp, H), jnp.float32) for _ in range(L))
-    jax.lax.fori_loop(0, T + L - 1, rounds, (zero, zero, zero))
+    # manual 2x unroll (Mosaic's fori only supports unroll=1|full):
+    # amortises loop bookkeeping over two rounds; the trailing odd round is
+    # a no-op through the live/t_out masks
+    n_rounds = T + L - 1
+
+    def two_rounds(i, carry):
+        return rounds(2 * i + 1, rounds(2 * i, carry))
+
+    jax.lax.fori_loop(0, (n_rounds + 1) // 2, two_rounds,
+                      (zero, zero, zero))
 
 
 def _round_up(x: int, m: int) -> int:
