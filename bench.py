@@ -289,17 +289,17 @@ def main():
     wr_tx = optax.chain(optax.clip_by_global_norm(4.0), optax.adam(1e-4))
     wr_step = tloop.make_vocoder_step(wr_cfg, wr_tx)
     hop = wr_cfg.hop_length
-    seqf = 5
+    seqf, vb = 5, 32          # production-scale batch fills the GRU rows
     rngv = np.random.default_rng(1)
     vm = jax.device_put(rngv.random(
-        (8, 80, seqf + 2 * wr_cfg.pad)).astype(np.float32))
+        (vb, 80, seqf + 2 * wr_cfg.pad)).astype(np.float32))
     vx = jax.device_put(rngv.uniform(
-        -1, 1, (8, seqf * hop)).astype(np.float32))
+        -1, 1, (vb, seqf * hop)).astype(np.float32))
     vy = jax.device_put(np.roll(np.asarray(vx), -1, 1))
     wr_state = (wr_params, wr_tx.init(wr_params))
     voc_dt, _, _ = _timeit(lambda i: wr_step(*wr_state, vx, vy, vm)[:2],
                            repeats=3)
-    voc_fl, voc_by = RL.vocoder_train_cost(wr_cfg, 8, seqf * hop)
+    voc_fl, voc_by = RL.vocoder_train_cost(wr_cfg, vb, seqf * hop)
     entries.append(RL.account("vocoder_train_step", voc_fl, voc_by,
                               voc_dt, spec, compute_dtype="bf16"))
 
