@@ -170,14 +170,20 @@ def remove_noise(wav, sr, n_fft=1024, hop_length=256, noise_quantile=0.1,
     T = len(frames)
     out = np.zeros(T * hop_length + n_fft)
     wsum = np.zeros_like(out)
-    R = n_fft // hop_length
-    assert n_fft % hop_length == 0, "hop must divide n_fft"
     w2 = window ** 2
-    for r in range(R):
-        blk = out_frames[:, r * hop_length:(r + 1) * hop_length]
-        out[r * hop_length: (r + T) * hop_length] += blk.ravel()
-        wsum[r * hop_length: (r + T) * hop_length] += np.tile(
-            w2[r * hop_length:(r + 1) * hop_length], T)
+    if n_fft % hop_length == 0:
+        R = n_fft // hop_length
+        for r in range(R):
+            blk = out_frames[:, r * hop_length:(r + 1) * hop_length]
+            out[r * hop_length: (r + T) * hop_length] += blk.ravel()
+            wsum[r * hop_length: (r + T) * hop_length] += np.tile(
+                w2[r * hop_length:(r + 1) * hop_length], T)
+    else:
+        # general hop (public kwarg): scatter-add, still vectorised
+        idx = (np.arange(T)[:, None] * hop_length
+               + np.arange(n_fft)[None, :]).ravel()
+        np.add.at(out, idx, out_frames.ravel())
+        np.add.at(wsum, idx, np.broadcast_to(w2, (T, n_fft)).ravel())
     out = out / np.maximum(wsum, 1e-8)
     out = out[n_fft // 2: n_fft // 2 + len(wav)]
     return out.astype(np.float32)

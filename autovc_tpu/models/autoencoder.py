@@ -265,7 +265,8 @@ def loss(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
 def batch_forward(params: Params, chunks: jnp.ndarray, c_org: jnp.ndarray,
                   c_trg: jnp.ndarray, cfg: AutoEncoderConfig,
                   overlap: float = 0.5,
-                  precision: str = "f32") -> jnp.ndarray:
+                  precision: str = "f32",
+                  fast_kernels: bool | None = None) -> jnp.ndarray:
     """Convert overlapping mel chunks as one batch and merge by mean
     overlap-add (the reference's NaN-pad + nanmean, model.py:395-437,
     expressed as a sum/count overlap-add — identical result, no NaNs).
@@ -284,7 +285,7 @@ def batch_forward(params: Params, chunks: jnp.ndarray, c_org: jnp.ndarray,
     c_trg = jnp.broadcast_to(c_trg, (M, c_trg.shape[-1]))
     with PREC.compute(PREC.resolve(precision)):
         _, mel_post, _, _ = forward(params, chunks, c_org, c_trg, cfg,
-                                    train=False)
+                                    train=False, fast_kernels=fast_kernels)
     step = int(N * (1 - overlap))
     total = N + (M - 1) * step
     acc = jnp.zeros((n_mels, total), mel_post.dtype)
@@ -304,7 +305,7 @@ def batch_forward(params: Params, chunks: jnp.ndarray, c_org: jnp.ndarray,
 # count; outputs only, so no state pytree round-trips on the hot path).
 batch_forward_jit = jax.jit(batch_forward,
                             static_argnames=("cfg", "overlap",
-                                             "precision"))
+                                             "precision", "fast_kernels"))
 
 
 @functools.partial(jax.jit,

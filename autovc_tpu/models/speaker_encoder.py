@@ -61,16 +61,22 @@ forward_jit = jax.jit(forward)
 def embed_utterance(params: Params, wav: np.ndarray,
                     cfg: SpeakerEncoderConfig = SpeakerEncoderConfig(),
                     using_partials: bool = True,
-                    return_partials: bool = False, **slice_kwargs):
+                    return_partials: bool = False,
+                    use_native: bool = False, **slice_kwargs):
     """Embedding of one utterance (model.py:136-190): slice into partials,
-    embed the batch, average, L2-normalise."""
+    embed the batch, average, L2-normalise.
+
+    ``use_native`` routes the mel through the threaded C++ core (numpy
+    fallback when absent); VoiceConverter passes True on BOTH its single
+    and batch paths so the same speaker embeds identically either way,
+    while the torch-parity tests keep the numpy reference default."""
     if not using_partials:
         frames = dsp.mel_spec_speaker_encoder(wav, cfg.spectrogram)
         embed = np.asarray(forward_jit(params, frames[None]))[0]
         return (embed, None, None) if return_partials else embed
 
     frames_batch, wave_slices, _ = dsp.mel_spec_speaker_encoder_sliced(
-        wav, cfg.spectrogram, **slice_kwargs)
+        wav, cfg.spectrogram, use_native=use_native, **slice_kwargs)
     partial_embeds = np.asarray(forward_jit(params, frames_batch))
     raw = partial_embeds.mean(axis=0)
     embed = raw / np.linalg.norm(raw, 2)
@@ -89,7 +95,10 @@ def embed_utterances(params: Params, wavs,
     partial slices join one (sum(P_i) rounded to 32, n_frames, n_mels)
     batch through ONE ``forward`` dispatch, and the per-utterance
     mean + L2-normalise runs on host.  Returns a list of (emb,) arrays in
-    input order; numerics identical to per-utterance embedding.
+    input order.  Math is identical to per-utterance embedding with
+    ``use_native=True`` (the mel runs through the threaded C++ core,
+    parity-tested at rtol 2e-3 vs the numpy reference; numpy fallback
+    when the toolchain is absent).
     """
     batches, counts = [], []
     for wav in wavs:

@@ -346,15 +346,16 @@ def auto_fold_target(total_len: int, overlap: int = 550) -> int:
 
 
 def fold_with_overlap(x: jnp.ndarray, target: int, overlap: int):
-    """(1, T, C) -> (num_folds, target + 2*overlap, C) (model.py:358-399)."""
+    """(1, T, C) -> (num_folds, target + 2*overlap, C) (model.py:358-399).
+    Fold count comes from :func:`_fold_count` — the single implementation
+    the wall model and the frame-rate fold share."""
     _, total_len, features = x.shape
-    num_folds = (total_len - overlap) // (target + overlap)
-    extended = num_folds * (overlap + target) + overlap
-    remaining = total_len - extended
-    if remaining != 0:
-        num_folds += 1
-        padding = target + 2 * overlap - remaining
-        x = jnp.pad(x, ((0, 0), (0, padding), (0, 0)))
+    base = (total_len - overlap) // (target + overlap)
+    num_folds = _fold_count(total_len, target, overlap)
+    if num_folds != base:                       # remainder fold: pad tail
+        remaining = total_len - (base * (overlap + target) + overlap)
+        x = jnp.pad(x, ((0, 0), (0, target + 2 * overlap - remaining),
+                        (0, 0)))
     length = target + 2 * overlap
     starts = [i * (target + overlap) for i in range(num_folds)]
     return jnp.stack([
@@ -619,11 +620,10 @@ def _fold_rows(x: jnp.ndarray, target_f: int, overlap_f: int, margin: int):
     total scale), so row r's frames are precisely the frames whose
     upsampled samples land in sample-rate fold row r."""
     _, F, C = x.shape
-    num_folds = (F - overlap_f) // (target_f + overlap_f)
-    extended = num_folds * (overlap_f + target_f) + overlap_f
-    remaining = F - extended
-    if remaining != 0:
-        num_folds += 1
+    base = (F - overlap_f) // (target_f + overlap_f)
+    num_folds = _fold_count(F, target_f, overlap_f)
+    if num_folds != base:                       # remainder fold: pad tail
+        remaining = F - (base * (overlap_f + target_f) + overlap_f)
         x = jnp.pad(x, ((0, 0), (0, target_f + 2 * overlap_f - remaining),
                         (0, 0)))
     x = jnp.pad(x, ((0, 0), (margin, margin), (0, 0)))
@@ -661,11 +661,14 @@ def _pallas_ok(cfg: WaveRNNConfig, interpret: bool) -> bool:
 def resolve_backend(backend: str, cfg: WaveRNNConfig, target: int,
                     overlap: int, batched: bool = True,
                     interpret: bool = False,
-                    mel_frames: int | None = None) -> str:
+                    mel_frames: int | None = None,
+                    fast_math: bool = True) -> str:
     """Resolve 'auto'/'pallas'/'xla' to the backend that can actually run
     this geometry — ONE gate shared by :func:`generate`,
     :func:`generate_many` and the stage-pipeline vocoder
-    (parallel/pipeline.py), so every serving path picks the same winner."""
+    (parallel/pipeline.py), so every serving path picks the same winner.
+    ``fast_math`` must match the value passed to generation: the unbatched
+    VMEM-fit gate depends on the weight/conditioning dtype."""
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend != "pallas":
@@ -675,7 +678,7 @@ def resolve_backend(backend: str, cfg: WaveRNNConfig, target: int,
     if batched and (target % cfg.total_scale or overlap % cfg.total_scale):
         return "xla"          # rows kernel needs frame-aligned geometry
     if (not batched and mel_frames is not None
-            and _pallas_max_rows(cfg, mel_frames, True) < 1):
+            and _pallas_max_rows(cfg, mel_frames, fast_math) < 1):
         return "xla"          # unbatched long audio exceeds kernel VMEM
     return "pallas"
 
@@ -818,7 +821,7 @@ def generate(params: Params, mel: np.ndarray,
     elif target is None:
         target = g.target
     backend = resolve_backend(backend, cfg, target, overlap, batched,
-                              interpret, int(mel.shape[-1]))
+                              interpret, int(mel.shape[-1]), fast_math)
     output = _generate_program(params, mel, key, cfg, target, overlap,
                                batched, mu_law, fast_math, unroll, backend,
                                interpret)

@@ -12,9 +12,10 @@ Here the WHOLE stack is ONE kernel invocation:
     in XLA (exactly as the scan path does);
   * the L layers run SKEWED inside one in-kernel ``fori_loop``: round s
     advances layer l at timestep t = s - l, so the stack finishes in
-    T + L - 1 rounds whose only cost is L-G chained small matmuls;
-  * G independent recurrences (the two directions of a BLSTM layer) batch
-    into the same rounds.
+    T + L - 1 rounds whose only cost is L chained small matmuls.
+    (Layouts keep a unit G axis from a G=2 direction-batched BLSTM
+    variant that was built, measured slower than the unrolled XLA scan
+    for the KB-scale encoder BLSTM, and deleted.)
 
 Inference-only: the training path keeps the XLA scan with the hand-derived
 VJP (ops/rnn.py:_lstm_core) — this kernel has no backward.
@@ -56,21 +57,13 @@ def _kernel(xp_ref,        # (T + L - 1, G, Bp, 4H) f32
         xp_t = xp_ref[t0]                     # (G, Bp, 4H) f32
         new_h, new_c, new_y = [], [], []
         for l in range(L):
-            if G == 1:
-                # 2D specialisation: unit leading dims force relayouts in
-                # every round and blow up Mosaic's vectorizer/compile time
-                inp = (xp_t[0] if l == 0
-                       else dot(ys[l - 1][0], wih_ref[l - 1, 0])
-                       + b_ref[l - 1, 0])
-                gates = (inp + dot(hs[l][0], whh_ref[l, 0]))[None]
-            else:
-                gs = []
-                for g in range(G):
-                    inp = (xp_t[g] if l == 0
-                           else dot(ys[l - 1][g], wih_ref[l - 1, g])
-                           + b_ref[l - 1, g])
-                    gs.append(inp + dot(hs[l][g], whh_ref[l, g]))
-                gates = jnp.stack(gs)         # (G, Bp, 4H) f32
+            # 2D blocks with the unit G dim peeled off: unit leading dims
+            # force relayouts in every round and blow up Mosaic's
+            # vectorizer/compile time
+            inp = (xp_t[0] if l == 0
+                   else dot(ys[l - 1][0], wih_ref[l - 1, 0])
+                   + b_ref[l - 1, 0])
+            gates = (inp + dot(hs[l][0], whh_ref[l, 0]))[None]
             ai, af, ag, ao = jnp.split(gates, 4, axis=-1)
             i, f, o = (jax.nn.sigmoid(ai), jax.nn.sigmoid(af),
                        jax.nn.sigmoid(ao))
@@ -92,16 +85,10 @@ def _kernel(xp_ref,        # (T + L - 1, G, Bp, 4H) f32
         return tuple(new_h), tuple(new_c), tuple(new_y)
 
     zero = tuple(jnp.zeros((G, Bp, H), jnp.float32) for _ in range(L))
-    # manual 2x unroll (Mosaic's fori only supports unroll=1|full):
-    # amortises loop bookkeeping over two rounds; the trailing odd round is
-    # a no-op through the live/t_out masks
-    n_rounds = T + L - 1
-
-    def two_rounds(i, carry):
-        return rounds(2 * i + 1, rounds(2 * i, carry))
-
-    jax.lax.fori_loop(0, (n_rounds + 1) // 2, two_rounds,
-                      (zero, zero, zero))
+    # plain loop: a manual 2x round unroll measured only ~3% (the
+    # per-round cost is VMEM weight streaming, not loop bookkeeping —
+    # see CLAUDE.md negative results), not worth the masking complexity
+    jax.lax.fori_loop(0, T + L - 1, rounds, (zero, zero, zero))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -186,33 +173,3 @@ def lstm_stack_pallas(params: Sequence, x: jnp.ndarray,
         b = jnp.zeros((1, 1) + params[0]["b_ih"].shape, x.dtype)
     ys = _stack_core(xp0, whh, wih, b, fast, interpret)          # (T,1,B,H)
     return jnp.swapaxes(ys[:, 0], 0, 1)
-
-
-def bilstm_stack_pallas(params: Sequence, x: jnp.ndarray,
-                        interpret: bool = False) -> jnp.ndarray:
-    """Bidirectional stack inference: per layer, both directions run as
-    G=2 batched recurrences of one kernel round (same contract as
-    :func:`autovc_tpu.ops.rnn.bilstm_stack`).  Layers cannot skew (layer
-    l+1 consumes BOTH directions of layer l), so each layer is one kernel
-    call."""
-    fast = PREC.mode() == "bf16"
-    H = params[0]["fwd"]["w_hh"].shape[0]
-    cdt_bytes = 2 if (fast and H >= PREC.REC_BF16_MIN_HIDDEN) else 4
-    if not (interpret or _fits_vmem(x.shape[1], 1, 2, x.shape[0], H,
-                                    cdt_bytes)):
-        from autovc_tpu.ops import rnn as R
-        return R.bilstm_stack(params, x)
-    for lp in params:
-        B, T, _ = x.shape
-        xp_f = jnp.swapaxes(_hoist_xp0(lp["fwd"], x), 0, 1)
-        xp_b = jnp.swapaxes(
-            _hoist_xp0(lp["bwd"], jnp.flip(x, axis=1)), 0, 1)
-        xp0 = jnp.stack([xp_f, xp_b], axis=1)                 # (T,2,B,4H)
-        whh = jnp.stack([lp["fwd"]["w_hh"], lp["bwd"]["w_hh"]])[None]
-        wih = whh                                             # unused (L=1)
-        b = jnp.zeros((1, 2) + lp["fwd"]["b_ih"].shape, xp0.dtype)
-        ys = _stack_core(xp0, whh, wih, b, fast, interpret)   # (T,2,B,H)
-        out_f = jnp.swapaxes(ys[:, 0], 0, 1)
-        out_b = jnp.flip(jnp.swapaxes(ys[:, 1], 0, 1), axis=1)
-        x = jnp.concatenate([out_f, out_b], axis=-1)
-    return x

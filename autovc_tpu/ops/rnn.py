@@ -87,16 +87,6 @@ def init_lstm_layer(key, input_size: int, hidden_size: int) -> Params:
 # ---------------------------------------------------------------------------
 
 
-def _core_rec_dot(h, w_hh):
-    """(G, B, H) x (G, H, 4H) gate matmul, policy-routed per entry rows."""
-    if PREC._rec_use_bf16(h.shape[1], h.shape[2]):
-        return jnp.einsum("gbh,ghk->gbk", h.astype(jnp.bfloat16),
-                          w_hh.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
-    return jnp.einsum("gbh,ghk->gbk", h, w_hh,
-                      precision=jax.lax.Precision.HIGHEST)
-
-
 def _core_rec_dot_T(da, w_hh):
     """(G, B, 4H) x (G, 4H, H)^T — the backward's sequential matmul."""
     if PREC._rec_use_bf16(da.shape[1], w_hh.shape[1]):
@@ -110,7 +100,7 @@ def _core_rec_dot_T(da, w_hh):
 def _lstm_core_scan(xp, w_hh, h0, c0, save: bool):
     def step(carry, xp_t):
         h, c = carry
-        a = xp_t + _core_rec_dot(h, w_hh)
+        a = xp_t + PREC.rec_bdot(h, w_hh)
         ai, af, ag, ao = jnp.split(a, 4, axis=-1)
         i, f, o = (jax.nn.sigmoid(ai), jax.nn.sigmoid(af),
                    jax.nn.sigmoid(ao))
@@ -390,14 +380,6 @@ def gru_project_inputs(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     return _dot(x, params["w_ih"]) + params["b_ih"]
 
 
-def _gru_rec_dot(h, w_hh):
-    if PREC._rec_use_bf16(h.shape[0], h.shape[1]):
-        return jnp.matmul(h.astype(jnp.bfloat16),
-                          w_hh.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
-    return jnp.matmul(h, w_hh, precision=jax.lax.Precision.HIGHEST)
-
-
 def _gru_rec_dot_T(dhp, w_hh):
     if PREC._rec_use_bf16(dhp.shape[0], w_hh.shape[0]):
         return jnp.matmul(dhp.astype(jnp.bfloat16),
@@ -410,7 +392,7 @@ def _gru_core_scan(xp, w_hh, b_hh, h0, save: bool):
     H = h0.shape[-1]
 
     def step(h, xp_t):
-        hp = _gru_rec_dot(h, w_hh) + b_hh
+        hp = PREC.rec_dot(h, w_hh) + b_hh
         xr, xz, xn = jnp.split(xp_t, 3, axis=-1)
         hr, hz, hn = jnp.split(hp, 3, axis=-1)
         r = jax.nn.sigmoid(xr + hr)

@@ -139,10 +139,18 @@ def conversion_pipeline(ae_params, wr_params, ae_cfg, wr_cfg,
     from autovc_tpu.models import wavernn as WR
 
     g = wr_cfg.generate
+    groups = split_devices(devices, 2)
+    # Pallas kernels carry no GSPMD sharding rule: a stage whose group has
+    # more than one device compiles an SPMD program over its submesh and
+    # must stay on the pure-XLA paths (the same invariant
+    # steps.chunk_sharded_convert enforces with fast_kernels=False).
+    ae_fast = False if len(groups[0]) > 1 else None
+    voc_backend = "xla" if len(groups[1]) > 1 else backend
 
     def ae_stage(params, chunks, c_org, c_trg, key):
         mel = AE.batch_forward_jit(params, chunks, c_org, c_trg, ae_cfg,
-                                   overlap, ae_precision)
+                                   overlap, ae_precision,
+                                   fast_kernels=ae_fast)
         return mel, key
 
     def voc_stage(params, mel_and_key):
@@ -150,13 +158,11 @@ def conversion_pipeline(ae_params, wr_params, ae_cfg, wr_cfg,
         t_total = (int(mel.shape[-1]) - 1) * wr_cfg.hop_length
         target = (WR.auto_fold_target(t_total, g.overlap)
                   if g.auto_target else g.target)
-        be = WR.resolve_backend(backend, wr_cfg, target, g.overlap)
+        be = WR.resolve_backend(voc_backend, wr_cfg, target, g.overlap)
         mu_law = g.mu_law and wr_cfg.mode == "RAW"
         return WR._generate_program(params, mel[None], key, wr_cfg, target,
                                     g.overlap, True, mu_law, True, 4, be,
                                     False)
-
-    groups = split_devices(devices, 2)
     # jit=False: both stages are already built from module-level jitted
     # programs with static-arg geometry; re-jitting would capture the
     # Python-side geometry dispatch in a single trace.

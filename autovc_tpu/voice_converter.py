@@ -96,12 +96,17 @@ class VoiceConverter:
         return self.SE.speakers
 
     def _embed(self, audio: Audio) -> np.ndarray:
-        """d-vector of an utterance, at the SE's native sample rate."""
+        """d-vector of an utterance, at the SE's native sample rate.
+
+        use_native=True matches the batch path (`_embed_many`), so the
+        same speaker embeds identically through convert and convert_batch.
+        """
         from autovc_tpu.models import speaker_encoder as SEm
         wav = audio.wav
         if audio.sr != self.SE.config.spectrogram.sr:
             wav = io.resample(wav, audio.sr, self.SE.config.spectrogram.sr)
-        return SEm.embed_utterance(self.SE.params, wav, self.SE.config)
+        return SEm.embed_utterance(self.SE.params, wav, self.SE.config,
+                                   use_native=True)
 
     def _embed_many(self, audios) -> list:
         """d-vectors for several utterances in ONE device dispatch

@@ -158,3 +158,22 @@ def test_jax_stft_matches_numpy(sample_wav):
     ref = dsp.stft_magnitude(y, 2048, 275, 1100)
     out = np.asarray(melspec.stft_magnitude(y, 2048, 275, 1100))
     np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3 * ref.max())
+
+
+def test_device_sliced_mel_matches_host(sample_wav):
+    """The PRODUCTION device mel+slicing path (ops.melspec.
+    mel_spec_auto_encoder_sliced, the front-end of every convert path)
+    must match the host dsp implementation (restored from the deleted
+    melspec_pallas test file — it covered this path, not the kernel)."""
+    import jax
+    from autovc_tpu.config import MelConfig
+    from autovc_tpu.ops import melspec as dev_mel
+    cfg = MelConfig(partial_utterance_n_frames=64)
+    y = sample_wav[: 22050 * 3]
+    dev_chunks, dev_slices = dev_mel.mel_spec_auto_encoder_sliced(y, cfg)
+    host_chunks, host_mslices = dsp.mel_spec_auto_encoder_sliced(y, cfg)
+    assert np.asarray(dev_chunks).shape == host_chunks.shape
+    assert [(s.start, s.stop) for s in dev_slices] \
+        == [(s.start, s.stop) for s in host_mslices]
+    np.testing.assert_allclose(np.asarray(dev_chunks), host_chunks,
+                               rtol=1e-3, atol=1e-4)

@@ -24,18 +24,6 @@ def test_lstm_stack_pallas_matches_scan(L, B, T, I, H):
                                rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("L,B,T,I,H", [(1, 1, 11, 5, 8), (2, 2, 14, 7, 8)])
-def test_bilstm_stack_pallas_matches_scan(L, B, T, I, H):
-    rng = np.random.default_rng(7 + L)
-    params = R.init_bilstm_stack(jax.random.PRNGKey(9 + L), I, H, L)
-    x = jnp.asarray(rng.standard_normal((B, T, I)).astype(np.float32))
-    ref = R.bilstm_stack(params, x)
-    out = LP.bilstm_stack_pallas(params, x, interpret=True)
-    assert out.shape == ref.shape
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-5, atol=1e-5)
-
-
 def test_decoder_geometry_parity():
     """The exact decoder LSTM2 geometry (2 x 1024) the kernel exists for,
     at a reduced T so interpret mode stays fast."""
