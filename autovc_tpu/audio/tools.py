@@ -144,12 +144,16 @@ def remove_noise(wav, sr, n_fft=1024, hop_length=256, noise_quantile=0.1,
     frequency, and resynthesises by overlap-add ISTFT.  Replaces the
     reference's ``noisereduce.reduce_noise`` call (tools.py:284-303).
     """
+    import scipy.fft as _sfft
     wav = np.asarray(wav, dtype=np.float64)
     if len(wav) < n_fft:
         return wav.astype(np.float32)
     window = dsp.padded_window(n_fft, n_fft)
     frames = dsp.frame_signal(wav, n_fft, hop_length, center=True)
-    spec = np.fft.rfft(frames * window, axis=-1)          # (T, F)
+    # scipy's pocketfft with workers=-1 parallelises the batched transform
+    # across cores (np.fft is single-threaded) — this FFT pair is the
+    # dominant host cost of output denoising in batch serving
+    spec = _sfft.rfft(frames * window, axis=-1, workers=-1)  # (T, F)
     mag = np.abs(spec)
 
     frame_energy = mag.sum(axis=1)
@@ -162,7 +166,8 @@ def remove_noise(wav, sr, n_fft=1024, hop_length=256, noise_quantile=0.1,
     gain = _ndimage.uniform_filter(
         gain, size=(smooth_time_frames, smooth_freq_bins))
 
-    out_frames = np.fft.irfft(spec * gain, n=n_fft, axis=-1) * window
+    out_frames = _sfft.irfft(spec * gain, n=n_fft, axis=-1,
+                             workers=-1) * window
     # vectorised overlap-add (a python per-frame loop here dominated e2e
     # serving host time): frame t's block r (of n_fft//hop blocks of hop
     # samples) lands at (t + r) * hop, so the whole OLA is n_fft//hop

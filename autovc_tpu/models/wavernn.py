@@ -290,7 +290,10 @@ _MAX_SLAB_ROWS = 64
 
 def _row_bucket(rows: int) -> int:
     """Smallest efficient kernel row count >= rows (skips the measured
-    40-row anomaly); beyond 64 the caller tiles into <=64-row passes."""
+    40-row anomaly); beyond 64, 8-multiples — the pallas caller runs one
+    pass up to its VMEM row cap (``_pallas_max_rows``) and tiles into
+    cap-row passes past that, the XLA scan caller tiles at
+    ``_MAX_SLAB_ROWS``."""
     for b in _ROW_BUCKETS:
         if rows <= b:
             return b
@@ -316,19 +319,41 @@ def _fold_count(total_len: int, target: int, overlap: int) -> int:
     return max(num_folds, 1)
 
 
-def _sampling_wall_model(total_len: int, target: int, overlap: int) -> float:
-    """Predicted kernel wall time (us): sequential steps x the per-step
-    cost of each <=64-row pass the fold count tiles into."""
+def _sampling_wall_model(total_len: int, target: int, overlap: int,
+                         cfg=None, cap: int | None = None) -> float:
+    """Predicted kernel wall time (us) of the geometry the caller ACTUALLY
+    runs.  Single-generate (``_generate_program``, pallas branch): one pass
+    while the fold count fits the VMEM-derived row cap (``_pallas_max_rows``
+    via ``cfg``; ~180 rows at the default config), tiled into cap-row passes
+    beyond.  The union-slab path (``_generate_many_program``) tiles at
+    ``_MAX_SLAB_ROWS`` — its callers pass ``cap=_MAX_SLAB_ROWS``.  Per-pass
+    cost interpolates/extrapolates the chip-measured ``_ROWS_US`` table.
+    (The r4 model tiled everything at 64 rows — a geometry single-generate
+    never executes: a measured 80-fold single pass costs 3.79 us/step vs
+    the modeled 64+16 tiling's 4.69.)  Without ``cfg``/``cap`` the cap
+    falls back to the table edge (128 rows)."""
     seq = target + 2 * overlap
     folds = _fold_count(total_len, target, overlap)
-    full, rem = divmod(folds, _MAX_SLAB_ROWS)
-    us = full * _us_per_step(_MAX_SLAB_ROWS)
+    if cap is None:
+        if cfg is not None and seq % cfg.total_scale == 0:
+            fpf = seq // cfg.total_scale
+            # single passes are capped at the largest MEASURED row count
+            # (the _ROWS_US table edge) even when VMEM would fit more —
+            # beyond it the per-row cost is unmeasured, and at the edge a
+            # 128-row pass (5.74/128 us/row) already equals 64-row tiling
+            cap = max(8, min((_pallas_max_rows(cfg, fpf) // 8) * 8,
+                             _ROWS_US[-1][0]))
+        else:
+            cap = _ROWS_US[-1][0]
+    full, rem = divmod(folds, cap)
+    us = full * _us_per_step(cap)
     if rem:
         us += _us_per_step(_row_bucket(rem))
     return seq * us
 
 
-def auto_fold_target(total_len: int, overlap: int = 550) -> int:
+def auto_fold_target(total_len: int, overlap: int = 550, cfg=None,
+                     cap: int | None = None) -> int:
     """Pick the fold length minimising the measured-cost wall model.
 
     The reference pins target=11000 for every input (hparams.py:110): a
@@ -338,11 +363,15 @@ def auto_fold_target(total_len: int, overlap: int = 550) -> int:
     audio folds shorter (more rows, fewer steps — a 5 s clip lands 64 rows
     x 2475 steps, ~29% faster than the r3 knee-of-32 choice), long audio
     keeps long folds (fewer crossfade seams than the reference).
+    ``cfg`` (a WaveRNNConfig) lets the model use the true VMEM row cap of
+    the single-generate sampling pass; slab callers pass
+    ``cap=_MAX_SLAB_ROWS``; with neither, the cap is the table edge.
     """
     if total_len <= 0:
         return _TARGET_LADDER[0]
     return min(_TARGET_LADDER,
-               key=lambda t: _sampling_wall_model(total_len, t, overlap))
+               key=lambda t: _sampling_wall_model(total_len, t, overlap,
+                                                  cfg, cap))
 
 
 def fold_with_overlap(x: jnp.ndarray, target: int, overlap: int):
@@ -350,7 +379,9 @@ def fold_with_overlap(x: jnp.ndarray, target: int, overlap: int):
     Fold count comes from :func:`_fold_count` — the single implementation
     the wall model and the frame-rate fold share."""
     _, total_len, features = x.shape
-    base = (total_len - overlap) // (target + overlap)
+    # clamp like _fold_count: for sub-overlap inputs (~<25 ms audio) the
+    # unclamped base is -1 and the remainder pad under-pads the single fold
+    base = max(0, (total_len - overlap) // (target + overlap))
     num_folds = _fold_count(total_len, target, overlap)
     if num_folds != base:                       # remainder fold: pad tail
         remaining = total_len - (base * (overlap + target) + overlap)
@@ -620,7 +651,7 @@ def _fold_rows(x: jnp.ndarray, target_f: int, overlap_f: int, margin: int):
     total scale), so row r's frames are precisely the frames whose
     upsampled samples land in sample-rate fold row r."""
     _, F, C = x.shape
-    base = (F - overlap_f) // (target_f + overlap_f)
+    base = max(0, (F - overlap_f) // (target_f + overlap_f))
     num_folds = _fold_count(F, target_f, overlap_f)
     if num_folds != base:                       # remainder fold: pad tail
         remaining = F - (base * (overlap_f + target_f) + overlap_f)
@@ -737,7 +768,12 @@ def _generate_program(params: Params, mel: jnp.ndarray, key,
             aux_rows = jnp.pad(aux_rows, pad_rows)
         from autovc_tpu.ops import wavernn_pallas
         fpf = aux_rows.shape[1]
-        max_rows = max(8, (_pallas_max_rows(cfg, fpf, fast_math) // 8) * 8)
+        # single-pass cap: VMEM fit AND the largest measured row count —
+        # the same cap _sampling_wall_model scores, so the geometry the
+        # fold-target picker models is the geometry that executes
+        max_rows = max(8, min(
+            (_pallas_max_rows(cfg, fpf, fast_math) // 8) * 8,
+            _ROWS_US[-1][0]))
         if bucket <= max_rows:
             samples = wavernn_pallas.generate_rows_pallas(
                 params, mel_rows, aux_rows, key, cfg, fast_math,
@@ -817,7 +853,7 @@ def generate(params: Params, mel: np.ndarray,
         mel = mel[None]
     if target == "auto" or (target is None and g.auto_target):
         target = auto_fold_target((mel.shape[-1] - 1) * cfg.hop_length,
-                                  overlap)
+                                  overlap, cfg)
     elif target is None:
         target = g.target
     backend = resolve_backend(backend, cfg, target, overlap, batched,
@@ -936,7 +972,8 @@ def generate_many(params: Params, mels, cfg: WaveRNNConfig = WaveRNNConfig(),
     if target == "auto" or (target is None and g.auto_target):
         # pooled: all utterances' folds join one sampling batch, so pick
         # the fold length that lands the UNION near the throughput knee
-        target = auto_fold_target(sum(wave_lens), overlap)
+        target = auto_fold_target(sum(wave_lens), overlap,
+                                  cap=_MAX_SLAB_ROWS)
     elif target is None:
         target = g.target
     backend = resolve_backend(backend, cfg, target, overlap, True, interpret)

@@ -21,9 +21,14 @@ Inference-only: the training path keeps the XLA scan with the hand-derived
 VJP (ops/rnn.py:_lstm_core) — this kernel has no backward.
 
 Numerics: matmuls in bf16 operands / f32 accumulation when ``fast_math``
-(H >= 256 routing mirrors ops/precision.rec_dot), f32 otherwise; the cell
-elementwise math is always f32.  Parity vs ops.rnn.lstm_stack is tested in
-tests/test_lstm_pallas.py (interpret mode on CPU, hardware on TPU).
+and H >= 256, f32 otherwise; the cell elementwise math is always f32.
+NOTE this deviates from ops/precision.rec_dot on purpose: rec_dot keeps
+rows==1 in f32 (XLA's HBM matvec beats the bf16 unpack there), but inside
+this kernel the per-round cost is VMEM weight streaming, which bf16 halves
+— so B=1, the kernel's primary regime, stays bf16 (documented in
+precision.py's policy comment).  Parity vs ops.rnn.lstm_stack is tested in
+tests/test_lstm_pallas.py (interpret mode on CPU incl. a bf16-gate
+deviation-bound test, hardware on TPU).
 
 Reference being replaced: the cuDNN LSTM stacks of
 auto_encoder/decoder.py:37-77 and encoder.py:51 (via models/autoencoder).

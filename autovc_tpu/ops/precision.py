@@ -81,6 +81,17 @@ def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 # latter two regimes — strictly MORE accurate than the bf16 contract, so
 # policy guarantees hold.  Time-parallel (hoisted) projections and convs are
 # unaffected; they always follow the policy.
+#
+# INTENTIONAL DEVIATION — ops/lstm_pallas (the fused small-batch stack
+# kernel): its compute-dtype gate is `fast_math and H >= REC_BF16_MIN_HIDDEN`
+# WITHOUT the rows >= 2 clause, so at B=1 (its primary use: streaming-bound
+# latency inference) it runs the recurrence in bf16 where this scan policy
+# would run f32.  That is deliberate: inside the kernel the per-round cost
+# is VMEM *weight streaming* (CLAUDE.md negative results — a 2x round unroll
+# bought ~3%), which bf16 halves; the measured rows==1-favors-f32 fact above
+# is about XLA's HBM matvec dispatch path and does not transfer.  The
+# numeric deviation is bounded by tests/test_lstm_pallas.py's bf16-gate
+# parity test (kernel-bf16 vs scan-f32).
 REC_BF16_MIN_HIDDEN = 256
 REC_BF16_MIN_ROWS = 2
 

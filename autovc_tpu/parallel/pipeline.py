@@ -121,7 +121,9 @@ def conversion_pipeline(ae_params, wr_params, ae_cfg, wr_cfg,
                         devices: Sequence | None = None,
                         overlap: float = 0.5,
                         ae_precision: str = "auto",
-                        backend: str = "auto") -> StagePipeline:
+                        backend: str = "auto",
+                        fast_math: bool = True,
+                        unroll: int = 4) -> StagePipeline:
     """The AutoVC inference pipeline as two device-pinned stages:
 
       stage 0: chunked auto-encoder conversion + mean overlap-add merge
@@ -154,15 +156,20 @@ def conversion_pipeline(ae_params, wr_params, ae_cfg, wr_cfg,
         return mel, key
 
     def voc_stage(params, mel_and_key):
+        # geometry/flags threaded from wr_cfg.generate exactly as the slab
+        # path (WR.generate) resolves them, so the two serving modes stay
+        # behaviorally identical under non-default configs
         mel, key = mel_and_key
         t_total = (int(mel.shape[-1]) - 1) * wr_cfg.hop_length
-        target = (WR.auto_fold_target(t_total, g.overlap)
+        target = (WR.auto_fold_target(t_total, g.overlap, wr_cfg)
                   if g.auto_target else g.target)
-        be = WR.resolve_backend(voc_backend, wr_cfg, target, g.overlap)
+        be = WR.resolve_backend(voc_backend, wr_cfg, target, g.overlap,
+                                g.batched, False, int(mel.shape[-1]),
+                                fast_math)
         mu_law = g.mu_law and wr_cfg.mode == "RAW"
         return WR._generate_program(params, mel[None], key, wr_cfg, target,
-                                    g.overlap, True, mu_law, True, 4, be,
-                                    False)
+                                    g.overlap, g.batched, mu_law, fast_math,
+                                    unroll, be, False)
     # jit=False: both stages are already built from module-level jitted
     # programs with static-arg geometry; re-jitting would capture the
     # Python-side geometry dispatch in a single trace.

@@ -21,8 +21,12 @@ Cost-model conventions:
 
 For an autoregressive sampler the roofline is NOT the right ceiling — the
 sequential dependency means each step pays a latency floor regardless of
-arithmetic intensity; we report steps/s against a per-step latency model as
-the third bound.
+arithmetic intensity.  Callers pass ``step_floor_us`` (the measured per-step
+floor for the component class: ``models.wavernn._us_per_step(rows)`` for the
+sampling kernel, :data:`STREAM_STEP_FLOOR_US` for weight-streaming-bound
+recurrences) and :func:`account` reports the LATENCY MODEL as the third
+bound — the binding one for sequential components, so their headline SoL%
+is %-of-latency-model, not a meaningless throughput fraction.
 """
 from __future__ import annotations
 
@@ -51,6 +55,16 @@ _CHIPS = {
 }
 
 _FALLBACK = ChipSpec("unknown accelerator", 100.0, 50.0, 800.0)
+
+# Measured per-step wall floor (us) for weight-streaming-bound recurrent
+# steps on TPU v5e: at B<=8 rows the H=1024 decoder LSTM step costs ~7.7 us
+# regardless of row count — the step streams its ~16 MB (bf16) weight
+# working set from VMEM/HBM and the MXU is idle most of the time (r4 sweep;
+# CLAUDE.md "measured design facts").  Used as the latency-model bound for
+# sequential entries whose per-step work is dominated by such steps (the AE
+# decoder chain); the WaveRNN sampler has its own measured table
+# (models.wavernn._ROWS_US).
+STREAM_STEP_FLOOR_US = 7.7
 
 
 def chip_spec(device_kind: str | None = None) -> ChipSpec:
@@ -265,8 +279,19 @@ def wavernn_prologue_cost(cfg, folds: int, t_steps: int):
 
 def account(name: str, flops: float, hbm_bytes: float, seconds: float,
             spec: ChipSpec, compute_dtype: str = "f32",
-            sequential_steps: int | None = None):
-    """Return an accounting dict: achieved rates, %-of-peak, binding bound."""
+            sequential_steps: int | None = None,
+            step_floor_us: float | None = None):
+    """Return an accounting dict: achieved rates, %-of-peak, binding bound.
+
+    ``sequential_steps`` + ``step_floor_us`` add the latency-model bound
+    (steps x the measured per-step floor for the component class).  For
+    sequential components this is usually the BINDING bound and becomes the
+    reported ``sol_seconds``/``sol_fraction``; the throughput-only fraction
+    rides along as ``throughput_sol_fraction``.  ``measurement_valid`` stays
+    defined by the throughput bound alone — that one is physics (a timing
+    below it is impossible), while the latency floor is an empirical table
+    a faster kernel may legitimately beat.
+    """
     peak_tf = (spec.peak_bf16_tflops if compute_dtype == "bf16"
                else spec.peak_f32_tflops)
     t_compute = flops / (peak_tf * 1e12)
@@ -274,13 +299,22 @@ def account(name: str, flops: float, hbm_bytes: float, seconds: float,
     achieved_tf = flops / seconds / 1e12
     achieved_gbs = hbm_bytes / seconds / 1e9
     bound = "compute" if t_compute >= t_memory else "bandwidth"
-    sol = max(t_compute, t_memory)
-    sol_fraction = round(sol / seconds, 4) if seconds > 0 else 0.0
-    # A component cannot beat its own speed-of-light.  sol_fraction > 1
-    # means the TIMING or the COST MODEL is wrong (sub-RTT kernels undershoot
-    # the differential dispatch timer; or XLA folded modeled work away) —
-    # publish the entry as measurement-invalid rather than as a result.
-    valid = sol_fraction <= 1.0
+    thr_sol = max(t_compute, t_memory)
+    thr_fraction = round(thr_sol / seconds, 4) if seconds > 0 else 0.0
+    # A component cannot beat its own (throughput) speed-of-light.
+    # thr_fraction > 1 means the TIMING or the COST MODEL is wrong (sub-RTT
+    # kernels undershoot the differential dispatch timer; or XLA folded
+    # modeled work away) — publish the entry as measurement-invalid rather
+    # than as a result.
+    valid = thr_fraction <= 1.0
+    sol, sol_fraction = thr_sol, thr_fraction
+    lat_sol = None
+    if sequential_steps and step_floor_us:
+        lat_sol = sequential_steps * step_floor_us * 1e-6
+        if lat_sol > thr_sol:
+            bound = "latency"
+            sol = lat_sol
+            sol_fraction = round(sol / seconds, 4) if seconds > 0 else 0.0
     entry = {
         "component": name,
         "flops": int(flops),
@@ -293,9 +327,12 @@ def account(name: str, flops: float, hbm_bytes: float, seconds: float,
         "bound": bound,
         "sol_seconds": round(sol, 6),
         "sol_fraction": sol_fraction,
+        "throughput_sol_fraction": thr_fraction,
         "compute_dtype": compute_dtype,
         "measurement_valid": valid,
     }
+    if lat_sol is not None:
+        entry["latency_model_seconds"] = round(lat_sol, 6)
     if sequential_steps:
         # latency-bound autoregressive loop: amortised per-step time
         entry["us_per_step"] = round(1e6 * seconds / sequential_steps, 3)

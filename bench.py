@@ -11,6 +11,9 @@ XLA f32 paths), and training-step throughput.  Prints ONE JSON line:
 Headline metric: BATCH-SERVING conversion throughput (all 8 bundled sample
 utterances converted in one pass) — named honestly as serving; the
 single-stream number is reported alongside in bench_details.json and stderr.
+The quoted number is the MEDIAN sustained window (reproducible on a re-run);
+the peak window is recorded alongside.  Scalars derived from a timing whose
+roofline entry is flagged ``measurement_valid: false`` are recorded as null.
 Baseline anchor: the reference's only stated performance claim is
 "realtime+" batched WaveRNN generation (utils/hparams.py:109, i.e. 1.0
 audio-second/s at 22.05 kHz output), so vs_baseline = value / 1.0.
@@ -93,6 +96,37 @@ def _timeit(fn, max_k: int = 64, budget_s: float = 0.6, repeats: int = 1):
     return max(per_op, 1e-7), compile_s, out
 
 
+def _timed_entry(fn, account, **timeit_kw):
+    """Measure ``fn`` and build its roofline entry via ``account(dt)``.
+
+    Measurement-honesty contract (VERDICT r4 #1): if the entry comes back
+    ``measurement_valid: false`` (achieved rate beats its own speed of
+    light — the differential timer undershot), RE-measure once with doubled
+    dispatch windows; if the entry is STILL invalid the caller must not
+    derive any published scalar from the timing (see ``_derived``).
+    Returns (dt, entry, out).
+    """
+    kw = dict(timeit_kw)
+    dt, _, out = _timeit(fn, **kw)
+    entry = account(dt)
+    if not entry["measurement_valid"]:
+        kw["max_k"] = 2 * kw.get("max_k", 64)
+        kw["budget_s"] = 2 * kw.get("budget_s", 0.6)
+        kw["repeats"] = max(5, kw.get("repeats", 1))
+        print(f"# {entry['component']}: window beat SoL "
+              f"(x{entry['throughput_sol_fraction']:.2f}) — re-measuring "
+              f"with doubled windows", file=sys.stderr)
+        dt, _, out = _timeit(fn, **kw)
+        entry = account(dt)
+    return dt, entry, out
+
+
+def _derived(entry, value):
+    """A scalar derived from a timing inherits that timing's validity: an
+    invalid measurement must not reach BENCH_rN / stderr as a number."""
+    return value if entry.get("measurement_valid", True) else None
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -131,7 +165,8 @@ def main():
     audio_seconds = len(wav) / 22050.0
 
     from autovc_tpu.ops import melspec as dev_mel
-    chunks, _ = dev_mel.mel_spec_auto_encoder_sliced(wav, ae_cfg.spectrogram)
+    chunks, mel_slices = dev_mel.mel_spec_auto_encoder_sliced(
+        wav, ae_cfg.spectrogram)
     c = np.zeros((1, 256), np.float32)
     c[0, 0] = 1.0
     M, _, N = chunks.shape
@@ -142,12 +177,14 @@ def main():
     # sub-RTT kernel: long dispatch windows + median of 5 so tunnel jitter
     # doesn't produce impossible >SoL readings (r3 recorded a 133% MFU here;
     # roofline.account now flags any residual >SoL entry as invalid)
-    mel_dt, _, mel_out = _timeit(
-        lambda i: dev_mel.mel_spec_auto_encoder(wav_dev, ae_cfg.spectrogram),
-        max_k=512, budget_s=1.0, repeats=5)
-    fl, by = RL.melspec_cost(mel_out.shape[-1], ae_cfg.spectrogram.n_fft,
+    mel_probe = dev_mel.mel_spec_auto_encoder(wav_dev, ae_cfg.spectrogram)
+    fl, by = RL.melspec_cost(mel_probe.shape[-1], ae_cfg.spectrogram.n_fft,
                              ae_cfg.spectrogram.n_mels)
-    entries.append(RL.account("mel_frontend(xla)", fl, by, mel_dt, spec))
+    mel_dt, mel_entry, mel_out = _timed_entry(
+        lambda i: dev_mel.mel_spec_auto_encoder(wav_dev, ae_cfg.spectrogram),
+        lambda dt: RL.account("mel_frontend(xla)", fl, by, dt, spec),
+        max_k=512, budget_s=1.0, repeats=5)
+    entries.append(mel_entry)
 
     # ---- component: AE conversion forward -------------------------------
     fl, by = RL.ae_forward_cost(ae_cfg, M, N)
@@ -159,9 +196,12 @@ def main():
         ae_dt_p, _, _ = _timeit(
             lambda i: AE.batch_forward_jit(ae_params, chunks, c, c, ae_cfg,
                                            0.5, "bf16"), repeats=3)
+        # sequential chain: the binding bound is the latency model (N steps
+        # x the measured weight-streaming step floor), not throughput SoL
         entries.append(RL.account("ae_convert(bf16)", fl, by, ae_dt_p,
                                   spec, compute_dtype="bf16",
-                                  sequential_steps=N))
+                                  sequential_steps=N,
+                                  step_floor_us=RL.STREAM_STEP_FLOOR_US))
         # Low-latency chunk geometry (the convert(partial_frames=) knob):
         # single-stream recurrence latency is floored by sequential steps
         # x per-step weight streaming, so the 128-frame chunking trades
@@ -178,7 +218,8 @@ def main():
             repeats=3)
         entries.append(RL.account("ae_convert_lowlat(bf16)", fl_ll, by_ll,
                                   ll_dt, spec, compute_dtype="bf16",
-                                  sequential_steps=Nll))
+                                  sequential_steps=Nll,
+                                  step_floor_us=RL.STREAM_STEP_FLOOR_US))
         # The M-chunk single-utterance rows above are LATENCY-bound (the
         # decoder scans run at 1-2 MXU rows); the serving slab shows the
         # throughput story at production row counts.
@@ -195,7 +236,7 @@ def main():
     post = AE.batch_forward_jit(ae_params, chunks, c, c, ae_cfg, 0.5, "auto")
     g = wr_cfg.generate
     t_total = int(post.shape[-1] - 1) * wr_cfg.hop_length
-    tgt = WR.auto_fold_target(t_total, g.overlap)
+    tgt = WR.auto_fold_target(t_total, g.overlap, wr_cfg)
     T_steps = tgt + 2 * g.overlap
     backend = "pallas" if on_tpu else "xla"
 
@@ -209,15 +250,6 @@ def main():
         cond_fn = lambda i: WR._prepare_conditioning(
             wr_params, jnp_asarray(post[None]), wr_cfg, tgt, g.overlap,
             True)
-    cond_dt, _, (cond, aux) = _timeit(cond_fn)
-    n_folds = cond.shape[0]
-    bucket = WR._row_bucket(n_folds) if backend == "pallas" \
-        else -(-n_folds // 8) * 8
-    if bucket != n_folds:
-        pad_rows = ((0, bucket - n_folds), (0, 0), (0, 0))
-        cond = jnp.pad(cond, pad_rows)
-        aux = jnp.pad(aux, pad_rows)
-
     fl, by = RL.wavernn_conditioning_cost(wr_cfg, 1, t_total)
     if backend == "xla":
         # the xla scan path additionally materialises + folds the
@@ -227,7 +259,20 @@ def main():
             1 + 2 * dup)
         fl += 2 * t_total * wr_cfg.feat_dims * (
             2 * RL._band_reach(wr_cfg) + 1)
-    entries.append(RL.account("wavernn_conditioning", fl, by, cond_dt, spec))
+    # sub-RTT component: repeats>=5 per _timeit's own contract (the r4
+    # artifact leak came from legs that skipped this)
+    cond_dt, cond_entry, (cond, aux) = _timed_entry(
+        cond_fn,
+        lambda dt: RL.account("wavernn_conditioning", fl, by, dt, spec),
+        max_k=256, budget_s=1.0, repeats=5)
+    entries.append(cond_entry)
+    n_folds = cond.shape[0]
+    bucket = WR._row_bucket(n_folds) if backend == "pallas" \
+        else -(-n_folds // 8) * 8
+    if bucket != n_folds:
+        pad_rows = ((0, bucket - n_folds), (0, 0), (0, 0))
+        cond = jnp.pad(cond, pad_rows)
+        aux = jnp.pad(aux, pad_rows)
 
     if backend == "pallas":
         from autovc_tpu.ops import wavernn_pallas
@@ -240,14 +285,23 @@ def main():
             wr_params, cond, aux, jax.random.PRNGKey(i), wr_cfg, True, 4)
         fl_s, by_s = RL.wavernn_xla_step_cost(wr_cfg, int(cond.shape[0]))
         dt_name, dtype = "wavernn_sampling(xla)", "f32"
-    samp_dt, _, samples = _timeit(samp_fn)
     fl_pro, by_pro = RL.wavernn_prologue_cost(wr_cfg, int(cond.shape[0]),
                                               T_steps)
-    entries.append(RL.account(dt_name, fl_s * T_steps + fl_pro,
-                              by_s * T_steps + by_pro,
-                              samp_dt, spec, compute_dtype=dtype,
-                              sequential_steps=T_steps))
-    sample_rate = int(cond.shape[0]) * T_steps / samp_dt
+    # latency-model floor: the chip-measured per-step cost at this row count
+    samp_floor = WR._us_per_step(int(cond.shape[0]))
+    samp_dt, samp_entry, samples = _timed_entry(
+        samp_fn,
+        lambda dt: RL.account(dt_name, fl_s * T_steps + fl_pro,
+                              by_s * T_steps + by_pro, dt, spec,
+                              compute_dtype=dtype,
+                              sequential_steps=T_steps,
+                              step_floor_us=samp_floor),
+        repeats=5, budget_s=1.0)
+    entries.append(samp_entry)
+    # derived scalar inherits the timing's validity flag (VERDICT r4 #1b):
+    # None here -> null in bench_details / BENCH_rN, never a bogus number
+    sample_rate = _derived(samp_entry,
+                           int(cond.shape[0]) * T_steps / samp_dt)
 
     # ---- component: AE train step ---------------------------------------
     import optax
@@ -279,12 +333,14 @@ def main():
     se_block = jax.device_put(np.random.default_rng(0).random(
         (8, 6, 160, 40)).astype(np.float32))
     se_state = (se_params2, se_tx.init(se_params2))
-    se_dt, _, _ = _timeit(lambda i: se_step(*se_state, se_block)[:2],
-                          repeats=3)
     se_fl, se_by = RL.se_train_cost(se_cfg2, 8, 6, 160)
     se_dtype = "bf16" if se_cfg2.learn.precision == "bf16" else "f32"
-    entries.append(RL.account("se_train_step", se_fl, se_by, se_dt,
-                              spec, compute_dtype=se_dtype))
+    se_dt, se_entry, _ = _timed_entry(
+        lambda i: se_step(*se_state, se_block)[:2],
+        lambda dt: RL.account("se_train_step", se_fl, se_by, dt, spec,
+                              compute_dtype=se_dtype),
+        repeats=3)
+    entries.append(se_entry)
 
     wr_tx = optax.chain(optax.clip_by_global_norm(4.0), optax.adam(1e-4))
     wr_step = tloop.make_vocoder_step(wr_cfg, wr_tx)
@@ -297,22 +353,27 @@ def main():
         -1, 1, (vb, seqf * hop)).astype(np.float32))
     vy = jax.device_put(np.roll(np.asarray(vx), -1, 1))
     wr_state = (wr_params, wr_tx.init(wr_params))
-    voc_dt, _, _ = _timeit(lambda i: wr_step(*wr_state, vx, vy, vm)[:2],
-                           repeats=3)
     voc_fl, voc_by = RL.vocoder_train_cost(wr_cfg, vb, seqf * hop)
-    entries.append(RL.account("vocoder_train_step", voc_fl, voc_by,
-                              voc_dt, spec, compute_dtype="bf16"))
+    voc_dt, voc_entry, _ = _timed_entry(
+        lambda i: wr_step(*wr_state, vx, vy, vm)[:2],
+        lambda dt: RL.account("vocoder_train_step", voc_fl, voc_by, dt,
+                              spec, compute_dtype="bf16"),
+        repeats=3)
+    entries.append(voc_entry)
 
-    train_dt, _, _ = _timeit(train_once, repeats=3)
     fl, by = RL.ae_train_cost(ae_cfg, 16, N)
     # honest denominator: the step's matmul/conv compute policy comes from
     # cfg.learn.precision ("bf16" by default) and MUST set the peak it is
     # scored against (r3 scored this bf16 step vs the f32 peak — 53.8%
     # "MFU" that was really ~13% of the bf16 peak)
     train_dtype = "bf16" if ae_cfg.learn.precision == "bf16" else "f32"
-    entries.append(RL.account("ae_train_step", fl, by, train_dt, spec,
-                              compute_dtype=train_dtype))
-    train_throughput = 16 * N * 0.0125 / train_dt
+    train_dt, train_entry, _ = _timed_entry(
+        train_once,
+        lambda dt: RL.account("ae_train_step", fl, by, dt, spec,
+                              compute_dtype=train_dtype),
+        repeats=3)
+    entries.append(train_entry)
+    train_throughput = _derived(train_entry, 16 * N * 0.0125 / train_dt)
 
     # ---- cross-backend equivalence gate (VERDICT r1 #9) -----------------
     if on_tpu:
@@ -352,10 +413,37 @@ def main():
 
     single_dt, compile_s, out = _timeit(convert_once, budget_s=2.0)
     single_throughput = audio_seconds / single_dt
-    t0 = time.time()
-    wav_out = WR.generate(wr_params, np.asarray(post)[None], wr_cfg,
-                          key=jax.random.PRNGKey(123), backend=backend)
-    single_latency = time.time() - t0
+    # Blocked one-shot latency through the PRODUCT path (VERDICT r4 #4):
+    # voice_converter's fused single-dispatch program — wav upload, ONE
+    # execute (mel + chunk AE + vocoder), one readback.  ~1 RTT + device
+    # time instead of the r4 path's ~3 RTTs.
+    from autovc_tpu import voice_converter as VCmod
+    wav_slices_l, mel_slices_l = dsp.compute_partial_slices(
+        len(wav), ae_cfg.spectrogram.sr,
+        partial_utterance_n_frames=(
+            ae_cfg.spectrogram.partial_utterance_n_frames),
+        overlap=0.5,
+        mel_window_step=ae_cfg.spectrogram.mel_window_step)
+    wav_padded = dsp.pad_for_slices(np.asarray(wav), wav_slices_l)
+    starts_l = tuple(int(s.start) for s in mel_slices_l)
+    fused = VCmod._fused_convert_jit()
+    mu_law_l = wr_cfg.generate.mu_law and wr_cfg.mode == "RAW"
+
+    def fused_call(s):
+        return fused(ae_params, wr_params, wav_padded, c, c,
+                     jax.random.PRNGKey(s), ae_cfg=ae_cfg, starts=starts_l,
+                     overlap=0.5, precision="auto", wr_cfg=wr_cfg,
+                     target=tgt, wr_overlap=g.overlap, batched=True,
+                     mu_law=mu_law_l, fast_math=True, unroll=4,
+                     backend=backend)
+
+    np.asarray(fused_call(122))          # compile + warm
+    lats = []
+    for s in range(123, 128):
+        t0 = time.time()
+        wav_out = np.asarray(fused_call(s))
+        lats.append(time.time() - t0)
+    single_latency = sorted(lats)[len(lats) // 2]
     # a blocked one-shot call pays 2-3 host<->device round-trips; on the
     # tunneled test chip the RTT dominates it, so record the RTT so
     # convert_latency_ms reads as (k * rtt + device time), not chip time
@@ -415,13 +503,14 @@ def main():
         pending()
         window_dts.append((time.time() - t0) / K)
         seed += K
-    serve_dt = min(window_dts)
-    serve_throughput = serve_audio_s / serve_dt
-    # The headline keeps the best window (the tunneled link's bandwidth
-    # jitters 2x run-to-run and the chip capability is the peak), but the
-    # mean/median sustained numbers ride along so the policy is explicit.
+    # HEADLINE POLICY (r4 directive #8): the quoted number is the MEDIAN
+    # sustained window — the number a second machine reproduces.  The peak
+    # window (what r1-r4 quoted; the chip-capability argument) is recorded
+    # alongside, not quoted.
+    serve_peak = serve_audio_s / min(window_dts)
     serve_mean = serve_audio_s / (sum(window_dts) / len(window_dts))
     serve_median = serve_audio_s / sorted(window_dts)[len(window_dts) // 2]
+    serve_throughput = serve_median
 
     # ---- TRUE end-to-end serving (VERDICT r3 #6) ------------------------
     # The headline above scopes to the device pipeline (mel -> AE ->
@@ -451,9 +540,11 @@ def main():
         out_audio = Audio(o, sr=22050, sr_org=22050)
         out_audio.preprocess("normalize_volume", "remove_noise")
 
-    def e2e_serve(seed):
+    def e2e_prep_dispatch(seed):
         # mirrors VoiceConverter.convert_batch incl. its threaded host
-        # pre/post-processing (numpy FFT/resample release the GIL)
+        # pre-processing (numpy FFT/resample release the GIL); returns the
+        # NON-blocking waveform collector so the caller can overlap batch
+        # i's host post-processing with batch i+1's device compute
         with ThreadPoolExecutor(max_workers=8) as ex:
             prepped = list(ex.map(_prep,
                                   zip(paths or [None] * len(wavs), wavs)))
@@ -464,20 +555,74 @@ def main():
         packed, starts, lengths = AE.batch_forward_packed(
             ae_params, all_chunks, embeds, c, ae_cfg, 0.5, "auto")
         post_mels = [packed[:, s:s + L] for s, L in zip(starts, lengths)]
-        outs = WR.generate_many(wr_params, post_mels, wr_cfg,
-                                key=jax.random.PRNGKey(seed))
+        return WR.generate_many(wr_params, post_mels, wr_cfg,
+                                key=jax.random.PRNGKey(seed), block=False)
+
+    def e2e_post(outs):
         with ThreadPoolExecutor(max_workers=8) as ex:
             list(ex.map(_post, outs))
-        return None
 
-    e2e_serve(0)                   # compile / warm every stage
+    e2e_post(e2e_prep_dispatch(0)())       # compile / warm every stage
+
+    # ---- per-stage attribution (VERDICT r4 #2): one instrumented run with
+    # explicit syncs between stages.  The quoted throughput comes from the
+    # UN-instrumented pipelined loop below; this run locates the cost.
+    st = {}
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        prepped_i = list(ex.map(_prep, zip(paths or [None] * len(wavs),
+                                           wavs)))
+    st["host_load_preprocess_resample"] = time.time() - t0
+    t0 = time.time()
+    chunks_i = [dev_mel.mel_spec_auto_encoder_sliced(
+        a.wav, ae_cfg.spectrogram)[0] for a, _ in prepped_i]
+    _sync(chunks_i[-1])
+    st["device_mel_slice"] = time.time() - t0
+    t0 = time.time()
+    embeds_i = SEm.embed_utterances(se_params,
+                                    [w for _, w in prepped_i], se_cfg)
+    st["se_embed(host_mel+device_lstm)"] = time.time() - t0
+    t0 = time.time()
+    packed_i, starts_i, lengths_i = AE.batch_forward_packed(
+        ae_params, chunks_i, embeds_i, c, ae_cfg, 0.5, "auto")
+    _sync(packed_i)
+    st["device_ae_packed"] = time.time() - t0
+    t0 = time.time()
+    outs_i = WR.generate_many(
+        wr_params,
+        [packed_i[:, s:s + L] for s, L in zip(starts_i, lengths_i)],
+        wr_cfg, key=jax.random.PRNGKey(1))
+    st["device_vocoder+readback"] = time.time() - t0
+    t0 = time.time()
+    e2e_post(outs_i)
+    st["host_outprocess"] = time.time() - t0
+    details["e2e_stage_seconds"] = {k: round(v, 4) for k, v in st.items()}
+    print("# e2e stages: " + " | ".join(f"{k} {v*1e3:.0f}ms"
+                                        for k, v in st.items()),
+          file=sys.stderr)
+
+    # ---- steady-state pipelined e2e: batch i's host post-processing and
+    # batch i+1's host prep both overlap device compute (what a serving
+    # deployment would run); median window quoted.
+    Kb = 4
     e2e_dts = []
-    for r in range(max(1, N_RUNS)):
+    seed = 2
+    for _ in range(max(1, N_RUNS)):
         t0 = time.time()
-        e2e_serve(r + 1)
-        e2e_dts.append(time.time() - t0)
-    e2e_dt = min(e2e_dts)
+        pending = e2e_prep_dispatch(seed)
+        for i in range(Kb - 1):
+            nxt = e2e_prep_dispatch(seed + 1 + i)
+            e2e_post(pending())
+            pending = nxt
+        e2e_post(pending())
+        e2e_dts.append((time.time() - t0) / Kb)
+        seed += Kb
+    e2e_dt = sorted(e2e_dts)[len(e2e_dts) // 2]
     e2e_throughput = serve_audio_s / e2e_dt
+
+    def _r(x, nd=3):
+        # an invalid-derived scalar is null in the artifact, never a number
+        return None if x is None else round(x, nd)
 
     details.update({
         "serve_audio_seconds_per_second_per_chip": round(serve_throughput, 3),
@@ -485,16 +630,22 @@ def main():
                                                            3),
         "convert_latency_ms": round(single_latency * 1e3, 1),
         "host_device_rtt_ms": round(rtt * 1e3, 1),
-        "train_audio_seconds_per_second_per_chip": round(train_throughput, 3),
+        "train_audio_seconds_per_second_per_chip": _r(train_throughput),
         "train_ms_per_step": round(train_dt * 1e3, 2),
-        "wavernn_samples_per_second": round(sample_rate, 0),
+        "train_step_measurement_valid": bool(
+            train_entry["measurement_valid"]),
+        "wavernn_samples_per_second": _r(sample_rate, 0),
+        "wavernn_sampling_measurement_valid": bool(
+            samp_entry["measurement_valid"]),
         "wavernn_folds": int(cond.shape[0]),
         "compile_seconds": {"single": round(compile_s, 1),
                             "serve": round(serve_compile, 1)},
         "serve_utterances": len(wavs),
         "serve_audio_seconds": round(serve_audio_s, 2),
         "serve_batch_latency_ms": round(serve_batch_latency * 1e3, 1),
-        "serve_throughput_policy": "peak-sustained (best of N windows)",
+        "serve_throughput_policy":
+            "median sustained window (peak recorded alongside)",
+        "serve_peak_audio_s_per_s": round(serve_peak, 3),
         "serve_mean_audio_s_per_s": round(serve_mean, 3),
         "serve_median_audio_s_per_s": round(serve_median, 3),
         "serve_window_audio_s_per_s": [round(serve_audio_s / dt, 1)
@@ -506,11 +657,13 @@ def main():
         "e2e_serve_seconds_per_batch": round(e2e_dt, 3),
     })
     print(RL.format_table(entries), file=sys.stderr)
+    wr_str = ("INVALID-MEASUREMENT" if sample_rate is None else
+              f"{sample_rate:,.0f} samples/s ({sample_rate/22050:.1f}x RT)")
     print(f"# single-stream {single_throughput:.2f} audio-s/s | serving "
           f"({len(wavs)} utt, {serve_audio_s:.1f} audio-s) "
-          f"{serve_throughput:.2f} audio-s/s | e2e convert_batch "
-          f"{e2e_throughput:.2f} audio-s/s | WaveRNN "
-          f"{sample_rate:,.0f} samples/s ({sample_rate/22050:.1f}x RT) | "
+          f"{serve_throughput:.2f} audio-s/s median (peak "
+          f"{serve_peak:.1f}) | e2e convert_batch "
+          f"{e2e_throughput:.2f} audio-s/s | WaveRNN {wr_str} | "
           f"train {train_dt*1e3:.0f} ms/step", file=sys.stderr)
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -31,7 +31,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def evaluate(auto_encoder: str, samples: str = "/root/reference/data/samples",
              max_files: int | None = None, max_seconds: float | None = None,
-             rtol: float = 1e-3, atol: float = 1e-4):
+             rtol: float = 1e-3, atol: float = 1e-4,
+             mirror_pt: str | None = None):
+    """``auto_encoder`` may be a reference-format ``.pt`` OR a native
+    ``.ckpt`` (e.g. one produced by convert->save): the torch-mirror side
+    then loads from ``mirror_pt`` (defaults to ``auto_encoder``, which must
+    be a ``.pt`` in that case)."""
     import torch
 
     from autovc_tpu.audio import dsp, io
@@ -51,7 +56,8 @@ def evaluate(auto_encoder: str, samples: str = "/root/reference/data/samples",
     cfg = AutoEncoderConfig()
     loaded = load_model("auto_encoder", auto_encoder, verbose=False)
     mirror = MirrorAutoVC()
-    blob = torch.load(auto_encoder, map_location="cpu", weights_only=False)
+    blob = torch.load(mirror_pt or auto_encoder, map_location="cpu",
+                      weights_only=False)
     state = blob["model_state"] if isinstance(blob, dict) and \
         "model_state" in blob else blob
     mirror.load_state_dict(state)
@@ -99,9 +105,12 @@ def main():
     ap.add_argument("--samples", default="/root/reference/data/samples")
     ap.add_argument("--max_files", type=int, default=None)
     ap.add_argument("--max_seconds", type=float, default=None)
+    ap.add_argument("--mirror_pt", default=None,
+                    help="reference-format .pt for the torch-mirror side "
+                         "when --auto_encoder is a native .ckpt")
     args = ap.parse_args()
     report = evaluate(args.auto_encoder, args.samples, args.max_files,
-                      args.max_seconds)
+                      args.max_seconds, mirror_pt=args.mirror_pt)
     print(json.dumps(report, indent=2))
     sys.exit(0 if report["allclose_rtol1e3"] else 1)
 

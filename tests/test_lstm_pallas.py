@@ -34,3 +34,30 @@ def test_decoder_geometry_parity():
     out = LP.lstm_stack_pallas(params, x, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_gate_deviation_bounded():
+    """The kernel's intentional precision deviation (precision.py policy
+    comment): at B=1, H>=256 under the bf16 policy the kernel runs its
+    recurrence in bf16 where rec_dot's scan would run f32 (the kernel's
+    cost is VMEM weight streaming, which bf16 halves).  Bound the numeric
+    gap kernel(bf16) vs scan(f32) at a deviation-regime geometry.  H=256
+    (not 1024) keeps interpret mode CI-fast; the gate routes identically
+    for every H >= REC_BF16_MIN_HIDDEN, and the TPU-hardware run of the
+    same parity suite covers the full 2x1024 shape."""
+    from autovc_tpu.ops import precision as PREC
+    rng = np.random.default_rng(3)
+    H = PREC.REC_BF16_MIN_HIDDEN
+    params = R.init_lstm_stack(jax.random.PRNGKey(3), 128, H, 2)
+    x = jnp.asarray(0.5 * rng.standard_normal((1, 20, 128))
+                    .astype(np.float32))
+    ref, _, _ = R.lstm_stack(params, x)          # f32 policy -> exact scan
+    with PREC.compute("bf16"):
+        # rows==1: the scan would STILL be f32 (rec_dot override);
+        # the kernel goes bf16 — this is the deviation being bounded
+        out = LP.lstm_stack_pallas(params, x, interpret=True)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    # bf16 operand rounding (8-bit mantissa) through 2 layers x 20 steps
+    # of f32-accumulated matmuls: relative error stays ~1e-2
+    assert err / scale < 2e-2, (err, scale)

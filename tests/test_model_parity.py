@@ -340,22 +340,34 @@ def test_generate_produces_audio(wavernn_pair):
 
 
 def test_auto_fold_target_geometry():
-    """Wall-model selection (r4): short audio -> short folds (fewer
-    sequential steps, more kernel rows — per-row cost falls to 64 rows per
-    the measured _ROWS_US table), long audio -> longer folds than the
-    reference's fixed 11000 (fewer crossfade seams)."""
-    # 7 s at 22.05 kHz: the reference's fixed target gives ~15 folds x
-    # 12100 steps; the wall model picks 2750 -> ~47 folds x 3850 steps.
-    assert WR.auto_fold_target(7 * 22050) == 2750
-    assert WR.auto_fold_target(22050) == 1375          # 1 s clip
-    assert WR.auto_fold_target(60 * 22050) == 22000    # 1 min clip
+    """Wall-model selection: short audio -> short folds (fewer sequential
+    steps, more kernel rows — per-row cost falls per the measured _ROWS_US
+    table), long audio -> longer folds than the reference's fixed 11000
+    (fewer crossfade seams).  The model follows each caller's ACTUAL
+    tiling geometry (r4 advisor fix): the union-slab path
+    (generate_many) tiles at _MAX_SLAB_ROWS, the single-generate pallas
+    path runs one pass up to its VMEM row cap."""
+    from autovc_tpu.config import WaveRNNConfig
+    cfg = WaveRNNConfig()
+    slab = WR._MAX_SLAB_ROWS
+    # slab tiling (generate_many): 7 s picks 2750 -> ~47 folds x 3850
+    # steps; the reference's fixed target would give ~15 folds x 12100.
+    assert WR.auto_fold_target(7 * 22050, cap=slab) == 2750
+    assert WR.auto_fold_target(22050, cap=slab) == 1375     # 1 s clip
+    assert WR.auto_fold_target(60 * 22050, cap=slab) == 22000
     # 10 min: 1146 folds either way — the model picks the step-count
     # minimum among full-64-row tilings (11000 edges out 22000 by ~2%)
-    assert WR.auto_fold_target(600 * 22050) == 11000
+    assert WR.auto_fold_target(600 * 22050, cap=slab) == 11000
+    # single-generate (VMEM cap ~180 rows at the default config): one big
+    # pass is measured cheaper than tiling, so 7 s folds even shorter —
+    # 1375 -> ~80 rows x 2475 steps (80-row pass: 3.79 us/step measured)
+    assert WR.auto_fold_target(7 * 22050, 550, cfg) == 1375
     assert WR.auto_fold_target(1) == 1375              # degenerate input
     # every ladder value keeps the compile-variant count bounded
     for secs in (0.5, 1, 3, 7, 20, 60, 300):
         assert WR.auto_fold_target(int(secs * 22050)) in WR._TARGET_LADDER
+        assert WR.auto_fold_target(int(secs * 22050), 550,
+                                   cfg) in WR._TARGET_LADDER
 
 
 def test_row_bucket_ladder():

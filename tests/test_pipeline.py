@@ -194,6 +194,23 @@ def test_convert_partial_frames_latency_knob(vc, short_wav):
     assert abs(len(w) - len(out_default.wav)) <= 32 * 275 * 2
 
 
+def test_convert_fused_dispatch_matches_staged(vc, short_wav):
+    """The single-dispatch path (VERDICT r4 #4: mel + AE + vocoder traced
+    as ONE program, synced once) must produce the staged path's output.
+    Identical PRNG key -> identical sampling noise; the only admissible
+    deviation is XLA fusion-order f32 rounding, which can at worst flip a
+    MOL mixture pick on a knife's edge — hence allclose-or-correlation."""
+    staged = vc.convert(short_wav, short_wav, save_name=False,
+                        outprocess=(), seed=11, fuse_dispatch=False)
+    fused = vc.convert(short_wav, short_wav, save_name=False,
+                       outprocess=(), seed=11, fuse_dispatch=True)
+    assert len(fused.wav) == len(staged.wav)
+    assert np.isfinite(fused.wav).all()
+    if not np.allclose(fused.wav, staged.wav, rtol=0, atol=1e-4):
+        corr = np.corrcoef(fused.wav, staged.wav)[0, 1]
+        assert corr > 0.99, corr
+
+
 def test_convert_partial_frames_below_freq_raises(vc, short_wav):
     with pytest.raises(ValueError):
         vc.convert(short_wav, f"{SAMPLES}/HaegueYang_5.wav",

@@ -203,3 +203,30 @@ def test_eval_reference_parity_harness(ae_pt, capsys):
                           max_files=1, max_seconds=2.0)
     assert report["allclose_rtol1e3"], report
     assert report["mel_mse"] < 1e-6
+
+
+@pytest.mark.slow
+def test_parity_harness_on_converted_then_saved_ckpt(ae_pt, tmp_path):
+    """VERDICT r4 #9 — keep the environment-capped real-blob path warm:
+    round-trip a reference-format .pt through torch_compat INTO the native
+    format (load_model -> save_model v2 .ckpt -> load_model) and run the
+    parity harness against the SAVED native checkpoint, with the original
+    .pt providing only the independent torch-mirror side.  Covers
+    convert -> save -> load -> convert parity end to end, so the day a
+    real reference blob appears the whole chain is known-green."""
+    from autovc_tpu.models import save_model
+    sys.path.insert(0, "/root/repo/scripts")
+    try:
+        import eval_reference_parity as erp
+    finally:
+        sys.path.pop(0)
+    converted = load_model("auto_encoder", ae_pt[1], verbose=False)
+    ckpt = save_model(converted, "AutoVC_roundtrip.ckpt",
+                      save_dir=str(tmp_path))
+    from autovc_tpu.utils import checkpoint as ckpt_util
+    ckpt_util.wait_for_saves()
+    report = erp.evaluate(ckpt, mirror_pt=ae_pt[1],
+                          samples="/root/reference/data/samples",
+                          max_files=1, max_seconds=2.0)
+    assert report["allclose_rtol1e3"], report
+    assert report["mel_mse"] < 1e-6
