@@ -97,6 +97,15 @@ def _fast_recurrence(train: bool, axis_name, B: int) -> bool:
             and jax.default_backend() == "tpu")
 
 
+def _stream_ok(H: int) -> bool:
+    """Gate for the streamed slab LSTM kernel: TPU, bf16 compute policy
+    (f32-exact mode keeps the scan — the kernel's resident weights would
+    double to 48 MB and exactness is the point of that mode), MXU-aligned
+    hidden size."""
+    return (jax.default_backend() == "tpu" and H % 128 == 0
+            and PREC.mode() == "bf16")
+
+
 def encoder(params: Params, x: jnp.ndarray, c_org: jnp.ndarray,
             freq: int, dim_neck: int, train: bool = False,
             axis_name: str | None = None):
@@ -158,12 +167,28 @@ def decoder(params: Params, x: jnp.ndarray, train: bool = False,
     if fast:
         from autovc_tpu.ops import lstm_pallas as LP
         h = LP.lstm_stack_pallas(params["lstm2"], h)
+    elif (not train and fast_kernels is None and axis_name is None
+          and _stream_ok(params["lstm2"][0]["w_hh"].shape[0])):
+        # serving slabs (B > 8): the streamed Pallas kernel keeps the
+        # 2x1024 stack's 24 MB (bf16) weights VMEM-resident and chains
+        # both layers per round — the skewed XLA scan it replaces ran
+        # 18.5 us/round vs an 8.2 us compute floor and was 56% of the
+        # whole slab forward (r5 attribution, exp_slab_stages.py)
+        from autovc_tpu.ops import lstm_pallas as LP
+        h = LP.lstm_stack_stream(params["lstm2"], h)
     elif not train:
-        # serving slabs (B > 8): the layer-skewed batched scan halves the
-        # sequential rounds of the 2x1024 stack (measured 8.65 -> 7.20 ms
-        # at 64 rows, v5e); training keeps per-layer scans whose custom
-        # VJP the skewed form doesn't have
+        # non-kernel geometries / f32-exact mode: the layer-skewed batched
+        # scan halves the sequential rounds of the 2x1024 stack (measured
+        # 8.65 -> 7.20 ms at 64 rows, v5e); training keeps per-layer scans
+        # whose custom VJP the skewed form doesn't have
         h, _, _ = R.lstm_stack_skewed(params["lstm2"], h)
+    elif (fast_kernels is None and axis_name is None
+          and _stream_ok(params["lstm2"][0]["w_hh"].shape[0])):
+        # training path, single-device TPU: the fused Pallas stack TRAIN
+        # kernel (custom-VJP fwd+bwd, weights VMEM-resident) replaces the
+        # per-layer scans for the 2x1024 stack
+        from autovc_tpu.ops import lstm_train_pallas as LT
+        h, _ = LT.lstm_stack_train(params["lstm2"], h)
     else:
         h, _, _ = R.lstm_stack(params["lstm2"], h)
     mel = C.linear(params["proj"], h)
@@ -424,12 +449,21 @@ def _round_up(x: int, m: int) -> int:
 # measured on the 8-utterance sample set).
 _SLAB_LADDER = (8, 16, 32, 64, 128, 256)
 
+# Measured convert_slab wall time (ms) per slab size — TPU v5e, bf16,
+# T=400 chunks, r5 sweep (streamed LSTM2 kernel active for B>8).  Per-row
+# cost keeps falling to 128 rows (156 us/row — full MXU row occupancy of
+# the decoder stack's 128-row systolic passes; 64 rows runs the same
+# passes half-empty at 196 us/row) and is flat from 128 to 256.
+_SLAB_MS = {8: 4.55, 16: 4.90, 32: 7.07, 64: 12.57, 128: 19.94, 256: 40.05}
+
 
 def _pick_slab(rows: int) -> int:
-    for s in _SLAB_LADDER:
-        if rows <= s:
-            return s
-    return _SLAB_LADDER[-1]
+    """Slab size minimising the measured total wall cost ceil(rows/s) *
+    cost(s); ties break to the larger slab (fewer dispatches).  (The r4
+    picker took the smallest ladder entry >= rows — a 136-row serve then
+    ran one half-empty 256-row pass, ~13%% slower than the model's pick.)"""
+    return min(_SLAB_LADDER,
+               key=lambda s: (-(-rows // s) * _SLAB_MS[s], -s))
 
 
 def batch_forward_packed(params: Params, chunk_sets, c_orgs, c_trg,

@@ -155,24 +155,37 @@ def ge2e_loss(params: Params, embeds: jnp.ndarray) -> jnp.ndarray:
     return -jnp.mean(logp[jnp.arange(S * U), targets])
 
 
-def _forward_train(params: Params, utterances: jnp.ndarray) -> jnp.ndarray:
-    """Training-path forward: per-layer scans whose hand-derived VJP
-    (ops/rnn._lstm_core) keeps the backward's weight gradients out of the
-    scan — the skewed stack `forward` uses has no custom VJP, so its
-    autodiff backward pays a per-round dW outer product.  Numerics are
-    identical to :func:`forward`."""
-    _, (h, _), _ = R.lstm_stack(params["lstm"], utterances)
+def _forward_train(params: Params, utterances: jnp.ndarray,
+                   fast_kernels: bool | None = None) -> jnp.ndarray:
+    """Training-path forward.  On single-device TPU the 3x256 stack runs
+    as the fused Pallas train kernel (ops/lstm_train_pallas: all layers
+    chained per round, VMEM-resident weights, custom-VJP backward kernel —
+    the six per-layer XLA scans it replaces were ~1.3 ms of the 1.56 ms
+    step, VERDICT r4 #7).  Elsewhere: per-layer scans whose hand-derived
+    VJP (ops/rnn._lstm_core) keeps the backward's weight gradients out of
+    the scan.  Numerics are identical to :func:`forward`;
+    ``fast_kernels=False`` forces the scan path (GSPMD-sharded callers —
+    Pallas carries no sharding rule)."""
+    from autovc_tpu.ops import lstm_train_pallas as LT
+    H = params["lstm"][0]["w_hh"].shape[0]
+    use_kernel = (LT.stack_train_supported(H) if fast_kernels is None
+                  else fast_kernels)
+    if use_kernel:
+        _, (h, _) = LT.lstm_stack_train(params["lstm"], utterances)
+    else:
+        _, (h, _), _ = R.lstm_stack(params["lstm"], utterances)
     raw = jax.nn.relu(C.linear(params["linear"], h))
     return raw / jnp.linalg.norm(raw, axis=-1, keepdims=True)
 
 
-def batch_ge2e_loss(params: Params, batch: jnp.ndarray) -> jnp.ndarray:
+def batch_ge2e_loss(params: Params, batch: jnp.ndarray,
+                    fast_kernels: bool | None = None) -> jnp.ndarray:
     """Loss from raw mel batches (S, U, frames, mels): embed every utterance
     as one flat batch (MXU-friendly — the reference loops per speaker,
     model.py:267-272), reshape, apply GE2E."""
     S, U, T, M = batch.shape
-    embeds = _forward_train(params,
-                            batch.reshape(S * U, T, M)).reshape(S, U, -1)
+    embeds = _forward_train(params, batch.reshape(S * U, T, M),
+                            fast_kernels).reshape(S, U, -1)
     return ge2e_loss(params, embeds)
 
 

@@ -32,7 +32,9 @@ import numpy as np
 
 from autovc_tpu.config import WaveRNNConfig
 from autovc_tpu.ops import conv as C
+from autovc_tpu.ops import gru_train_pallas as GP
 from autovc_tpu.ops import mol as MOL
+from autovc_tpu.ops import precision as PREC
 from autovc_tpu.ops import rnn as R
 
 Params = Dict[str, Any]
@@ -195,12 +197,16 @@ def upsample(params: Params, m: jnp.ndarray, cfg: WaveRNNConfig,
 
 
 def forward(params: Params, x: jnp.ndarray, mels: jnp.ndarray,
-            cfg: WaveRNNConfig, train: bool = False):
+            cfg: WaveRNNConfig, train: bool = False,
+            fast_kernels: bool | None = None):
     """Teacher-forced pass (model.py:175-211).
 
     Args:
       x: (B, T) previous samples; mels: (B, feat, F) with
          T = (F - 2*pad) * total_scale.
+      fast_kernels: force the fused Pallas GRU-pair on/off (None = auto:
+        on for single-device TPU at supported geometry; GSPMD-sharded
+        callers must pass False — Pallas carries no sharding rule).
     Returns: (logits (B, T, n_classes), new_params).
     """
     cond, aux, up_new = upsample(params["upsample"], mels, cfg, train=train)
@@ -208,6 +214,37 @@ def forward(params: Params, x: jnp.ndarray, mels: jnp.ndarray,
     a1, a2, a3, a4 = (aux[..., i * d:(i + 1) * d] for i in range(4))
 
     inp = jnp.concatenate([x[..., None], cond, a1], axis=-1)
+    use_pair = (GP.pair_supported(cfg.rnn_dims) if fast_kernels is None
+                else fast_kernels)
+    if use_pair:
+        # fused Pallas GRU-pair path (training-capable custom VJP): both
+        # recurrences chained per round with VMEM-resident weights — the
+        # XLA scans re-stream the weight blocks per round and were the
+        # whole vocoder train step's cost (13.4% MFU, VERDICT r4 #3).
+        # Layer 2's projection splits into the hoisted xI/a2 part (base2)
+        # and the in-kernel h1 part; x1 = xI + h1 by the residual chain.
+        # The WHOLE sample-rate chain runs TIME-MAJOR: only the small
+        # pre-projection input (I channels) and the final logits are
+        # transposed — transposing the (T, B, 3H) kernel streams instead
+        # measured ~3 ms/step of pure relayout.
+        rd = cfg.rnn_dims
+        w2 = params["rnn2"]["w_ih"]
+        xI = C.linear(params["I"], jnp.swapaxes(inp, 0, 1))     # (T, B, rd)
+        a2t, a3t, a4t = (jnp.swapaxes(a, 0, 1) for a in (a2, a3, a4))
+        xp1 = R.gru_project_inputs(params["rnn1"], xI)
+        base2 = (PREC.dot(xI, w2[:rd]) + PREC.dot(a2t, w2[rd:])
+                 + params["rnn2"]["b_ih"])
+        h, h2 = GP.gru_pair(xp1, base2, w2[:rd],
+                            params["rnn1"]["w_hh"], params["rnn1"]["b_hh"],
+                            params["rnn2"]["w_hh"], params["rnn2"]["b_hh"])
+        x1 = h + xI
+        x2 = h2 + x1
+        x3 = jax.nn.relu(C.linear(params["fc1"],
+                                  jnp.concatenate([x2, a3t], axis=-1)))
+        x4 = jax.nn.relu(C.linear(params["fc2"],
+                                  jnp.concatenate([x3, a4t], axis=-1)))
+        logits = jnp.swapaxes(C.linear(params["fc3"], x4), 0, 1)
+        return logits, dict(params, upsample=up_new)
     xI = C.linear(params["I"], inp)
     res = xI
     h, _ = R.gru_layer(params["rnn1"], xI)
@@ -234,7 +271,8 @@ def encode_mu_law(x: jnp.ndarray, mu: int) -> jnp.ndarray:
 
 
 def loss(params: Params, x_in: jnp.ndarray, y_target: jnp.ndarray,
-         mels: jnp.ndarray, cfg: WaveRNNConfig, train: bool = True):
+         mels: jnp.ndarray, cfg: WaveRNNConfig, train: bool = True,
+         fast_kernels: bool | None = None):
     """Vocoder training loss: MOL NLL (mode 'MOL') or cross-entropy over
     quantised classes (mode 'RAW').  The reference ships no vocoder training
     loop (SURVEY.md §2a #6) — this is the standard WaveRNN objective.
@@ -246,7 +284,8 @@ def loss(params: Params, x_in: jnp.ndarray, y_target: jnp.ndarray,
     if cfg.mode == "RAW" and cfg.generate.mu_law:
         x_in = encode_mu_law(x_in, cfg.n_classes)
         y_target = encode_mu_law(y_target, cfg.n_classes)
-    logits, new_params = forward(params, x_in, mels, cfg, train=train)
+    logits, new_params = forward(params, x_in, mels, cfg, train=train,
+                                 fast_kernels=fast_kernels)
     if cfg.mode == "MOL":
         l = MOL.discretized_mix_logistic_loss(logits, y_target[..., None])
     else:

@@ -1,0 +1,460 @@
+"""Pallas TPU kernels for WaveRNN teacher-forced GRU-pair TRAINING.
+
+Why: the vocoder train step was the suite's worst honest MFU (13.4% bf16,
+VERDICT r4 #3).  Attribution (scripts/exp_vocoder_train.py +
+exp_gru_bwd.py, v5e): the two H=512 GRU `lax.scan`s ARE the step — one
+layer's forward costs 2.7 us/round and its custom-VJP backward 4.0 us/round
+against a ~1.5 us compute+stream floor, because every XLA scan round
+re-streams the 1.5 MB (bf16) recurrent weight block from HBM and pays loop
+overhead per round (the same diagnosis as the sampling kernel,
+ops/wavernn_pallas.py, whose VMEM-resident rounds run at 1.77 us for MORE
+matmuls).
+
+Design — one forward kernel + one backward kernel over the CHAINED pair
+(reference structure: wavernn/model.py:175-211, `rnn1`/`rnn2` with the
+residual/projection chain x1 = xI + h1, xp2 = [x1,a2] @ W_ih2):
+
+  * weights for BOTH layers (w_hh1, w_hh2, and rnn2's x1-column block
+    w_ih2x) live in VMEM; each round advances layer 1 AND layer 2 at the
+    same timestep (layer 2's input projection uses h1_t computed in the
+    same round — the part of xp2 that depends on xI/a2 is hoisted outside
+    as `base2`), so the pair costs ONE round of chained small matmuls;
+  * the time axis streams through HBM in double-buffered blocks of
+    budget-derived size: inputs (xp1 ‖ base2) in, outputs (h1 ‖ h2) and
+    the gate activations (r,z,n,hn per layer, compute dtype) out;
+  * the backward consumes the saved activations, so its round is ONLY the
+    three transposed-weight matmuls on the sequential chain
+    (dhp2 @ W_hh2^T, dxp2 @ W_ih2x^T, dhp1 @ W_hh1^T) — an earlier
+    rematerializing variant recomputed the gates and accumulated dW per
+    round (9 matmuls) and measured 7.5 us/round vs this design's target
+    ~2.5; dW_hh1/dW_hh2/dW_ih2x and the bias grads accumulate per BLOCK
+    (contraction K = block*rows, MXU-efficient) into VMEM;
+  * the streamed output cotangents are (dxp1 ‖ dbase2), which the
+    surrounding autodiff chains to xI / a2 / the hoisted projections.
+
+The pair is exposed as :func:`gru_pair`, a ``jax.custom_vjp`` drop-in for
+the two `ops.rnn.gru_layer` calls in `models.wavernn.forward`; numerics
+match the scan path's bf16 policy (recurrent matmuls bf16-operand /
+f32-accumulate, elementwise f32; under bf16 the saved activations are also
+bf16 — the one deviation from the scan VJP's f32 saves, bounded by the
+interpret-mode grad parity tests which run the f32 policy exactly).
+Tested in tests/test_gru_train_pallas.py including full gradients.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from autovc_tpu.ops import precision as PREC
+
+_TB_CAP = 32              # max streamed steps per DMA block
+_STREAM_BUDGET = 48 << 20  # VMEM bytes for all double-buffered step streams
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pick_tb(per_step_bytes: int, T: int) -> int:
+    """Steps per DMA block: bounded by the stream VMEM budget (a fixed
+    32-step block OOMed VMEM at batch 64) and the cap; >=8."""
+    tb = (_STREAM_BUDGET // (2 * per_step_bytes)) // 8 * 8
+    return max(8, min(_TB_CAP, tb, _round_up(T, 8)))
+
+
+def _gru_fwd_math(xp, hp, h, H):
+    r = jax.nn.sigmoid(xp[:, :H] + hp[:, :H])
+    z = jax.nn.sigmoid(xp[:, H:2 * H] + hp[:, H:2 * H])
+    n = jnp.tanh(xp[:, 2 * H:] + r * hp[:, 2 * H:])
+    return (1.0 - z) * n + z * h, (r, z, n, hp[:, 2 * H:])
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(xin_hbm,            # (NB, TB, Bp, 6H) f32: xp1 ‖ base2
+                whh1, wih2x, whh2,  # (H, 3H) cdt, VMEM
+                bhh1, bhh2,         # (1, 3H) f32
+                hout_hbm,           # (NB, TB, Bp, 2H) f32: h1 ‖ h2
+                aout_hbm,           # (NB, TB, Bp, 8H) cdt: gate acts
+                xbuf, xsem, hbuf, hsem, abuf, asem,
+                *, NB, TB, Bp, H, cdt):
+    def xdma(slot, b):
+        return pltpu.make_async_copy(xin_hbm.at[b], xbuf.at[slot],
+                                     xsem.at[slot])
+
+    def hdma(slot, b):
+        return pltpu.make_async_copy(hbuf.at[slot], hout_hbm.at[b],
+                                     hsem.at[slot])
+
+    def adma(slot, b):
+        return pltpu.make_async_copy(abuf.at[slot], aout_hbm.at[b],
+                                     asem.at[slot])
+
+    def dot(a, w):
+        return jnp.dot(a.astype(cdt), w[...],
+                       preferred_element_type=jnp.float32)
+
+    xdma(0, 0).start()
+
+    def block(b, carry):
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b + 1 < NB)
+        def _():
+            xdma(jax.lax.rem(b + 1, 2), b + 1).start()
+
+        xdma(slot, b).wait()
+
+        @pl.when(b >= 2)
+        def _():
+            hdma(slot, b - 2).wait()       # out bufs free for reuse
+            adma(slot, b - 2).wait()
+
+        def step(i, carry):
+            h1, h2 = carry
+            row = xbuf[slot, i]                        # (Bp, 6H) f32
+            xp1 = row[:, :3 * H]
+            base2 = row[:, 3 * H:]
+            h1, a1 = _gru_fwd_math(xp1, dot(h1, whh1) + bhh1[0][None, :],
+                                   h1, H)
+            xp2 = base2 + dot(h1, wih2x)
+            h2, a2 = _gru_fwd_math(xp2, dot(h2, whh2) + bhh2[0][None, :],
+                                   h2, H)
+            hbuf[slot, i] = jnp.concatenate([h1, h2], axis=-1)
+            abuf[slot, i] = jnp.concatenate(a1 + a2, axis=-1).astype(cdt)
+            return (h1, h2)
+
+        carry = jax.lax.fori_loop(0, TB, step, carry)
+        hdma(slot, b).start()
+        adma(slot, b).start()
+        return carry
+
+    zero = jnp.zeros((Bp, H), jnp.float32)
+    jax.lax.fori_loop(0, NB, block, (zero, zero))
+    # drain the last two blocks' output DMAs
+    @pl.when(NB >= 2)
+    def _():
+        hdma(jax.lax.rem(NB, 2), NB - 2).wait()
+        adma(jax.lax.rem(NB, 2), NB - 2).wait()
+    hdma(jax.lax.rem(NB - 1, 2), NB - 1).wait()
+    adma(jax.lax.rem(NB - 1, 2), NB - 1).wait()
+
+
+# ---------------------------------------------------------------------------
+# backward kernel (saved activations; per-block dW contractions)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(ain_hbm,            # (NB, TB, Bp, 8H) cdt: saved gate acts
+                hs_hbm,             # (NB, TB, Bp, 2H) f32: h1 ‖ h2
+                dh_hbm,             # (NB, TB, Bp, 2H) f32: dh1s ‖ dh2s
+                whh1T, wih2xT, whh2T,       # (3H, H) cdt
+                dx_hbm,             # (NB, TB, Bp, 6H) f32: dxp1 ‖ dbase2
+                dwhh1_ref, dwih2x_ref, dwhh2_ref,   # (H, 3H) f32 out
+                dbhh1_ref, dbhh2_ref,               # (1, 3H) f32 out
+                abuf, asem, hbuf, hsem, dbuf, dsem, obuf, osem, dpbuf,
+                hpbuf, pbuf, psem,
+                *, NB, TB, Bp, H, cdt):
+    def in_dmas(slot, b):
+        return (pltpu.make_async_copy(ain_hbm.at[b], abuf.at[slot],
+                                      asem.at[slot]),
+                pltpu.make_async_copy(hs_hbm.at[b], hbuf.at[slot],
+                                      hsem.at[slot]),
+                pltpu.make_async_copy(dh_hbm.at[b], dbuf.at[slot],
+                                      dsem.at[slot]))
+
+    def pdma(slot, b):
+        # the one cross-block row: h_{t-1} for the block's first step is
+        # the PREVIOUS block's last row (avoids materialising a shifted
+        # 2x-size h stream on the host)
+        return pltpu.make_async_copy(hs_hbm.at[b - 1, TB - 1],
+                                     pbuf.at[slot], psem.at[slot])
+
+    def odma(slot, b):
+        return pltpu.make_async_copy(obuf.at[slot], dx_hbm.at[b],
+                                     osem.at[slot])
+
+    def dot(a, w):
+        return jnp.dot(a.astype(cdt), w[...],
+                       preferred_element_type=jnp.float32)
+
+    def block_dw(a, b_):
+        # (TB, Bp, H) x (TB, Bp, 3H) contracting (step, row) -> (H, 3H):
+        # ONE MXU-efficient K = TB*Bp contraction per block per weight,
+        # instead of a K = Bp outer product on every round's serial chain.
+        # Leading dims collapsed so Mosaic sees a plain 1-dim contraction.
+        a2d = a.reshape(TB * Bp, a.shape[-1])
+        b2d = b_.reshape(TB * Bp, b_.shape[-1])
+        return jax.lax.dot_general(
+            a2d.astype(cdt), b2d.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    for d in in_dmas(0, NB - 1):
+        d.start()
+    @pl.when(NB >= 2)
+    def _():
+        pdma(0, NB - 1).start()
+
+    dwhh1_ref[...] = jnp.zeros_like(dwhh1_ref)
+    dwih2x_ref[...] = jnp.zeros_like(dwih2x_ref)
+    dwhh2_ref[...] = jnp.zeros_like(dwhh2_ref)
+    dbhh1_ref[...] = jnp.zeros_like(dbhh1_ref)
+    dbhh2_ref[...] = jnp.zeros_like(dbhh2_ref)
+
+    def block(bb, carry):
+        b = NB - 1 - bb                    # blocks in reverse
+        slot = jax.lax.rem(bb, 2)
+
+        @pl.when(bb + 1 < NB)
+        def _():
+            for d in in_dmas(jax.lax.rem(bb + 1, 2), b - 1):
+                d.start()
+
+        @pl.when(jnp.logical_and(bb + 1 < NB, b >= 2))
+        def _():
+            pdma(jax.lax.rem(bb + 1, 2), b - 1).start()
+
+        for d in in_dmas(slot, b):
+            d.wait()
+
+        @pl.when(b >= 1)
+        def _():
+            pdma(slot, b).wait()
+
+        prev_row = jnp.where(b > 0, pbuf[slot],
+                             jnp.zeros((Bp, 2 * H), jnp.float32))
+
+        @pl.when(bb >= 2)
+        def _():
+            odma(slot, NB - 1 - (bb - 2)).wait()
+
+        def step(ii, carry):
+            i = TB - 1 - ii                # steps in reverse
+            dh1_rec, dh2_rec = carry
+            acts = abuf[slot, i].astype(jnp.float32)   # (Bp, 8H)
+            r1, z1, n1, hn1 = (acts[:, :H], acts[:, H:2 * H],
+                               acts[:, 2 * H:3 * H], acts[:, 3 * H:4 * H])
+            r2, z2, n2, hn2 = (acts[:, 4 * H:5 * H], acts[:, 5 * H:6 * H],
+                               acts[:, 6 * H:7 * H], acts[:, 7 * H:])
+            hp = jnp.where(i > 0, hbuf[slot, jnp.maximum(i - 1, 0)],
+                           prev_row)
+            hpbuf[i] = hp                  # kept for the block dW pass
+            h1_p, h2_p = hp[:, :H], hp[:, H:]
+            dhs = dbuf[slot, i]
+
+            # ---- layer 2 backward ----
+            dh2 = dhs[:, H:] + dh2_rec
+            dn2 = dh2 * (1.0 - z2)
+            da_n2 = dn2 * (1.0 - n2 * n2)
+            dz2 = dh2 * (h2_p - n2)
+            da_z2 = dz2 * z2 * (1.0 - z2)
+            da_r2 = da_n2 * hn2 * r2 * (1.0 - r2)
+            dxp2 = jnp.concatenate([da_r2, da_z2, da_n2], axis=-1)
+            dhp2 = jnp.concatenate([da_r2, da_z2, da_n2 * r2], axis=-1)
+            dh2_next = dh2 * z2 + dot(dhp2, whh2T)
+
+            # ---- layer 1 backward (h1 feeds layer 2's projection) ----
+            dh1 = dhs[:, :H] + dh1_rec + dot(dxp2, wih2xT)
+            dn1 = dh1 * (1.0 - z1)
+            da_n1 = dn1 * (1.0 - n1 * n1)
+            dz1 = dh1 * (h1_p - n1)
+            da_z1 = dz1 * z1 * (1.0 - z1)
+            da_r1 = da_n1 * hn1 * r1 * (1.0 - r1)
+            dxp1 = jnp.concatenate([da_r1, da_z1, da_n1], axis=-1)
+            dhp1 = jnp.concatenate([da_r1, da_z1, da_n1 * r1], axis=-1)
+            dh1_next = dh1 * z1 + dot(dhp1, whh1T)
+
+            obuf[slot, i] = jnp.concatenate([dxp1, dxp2], axis=-1)
+            dpbuf[i] = jnp.concatenate([dhp1, dhp2], axis=-1)
+            return (dh1_next, dh2_next)
+
+        carry = jax.lax.fori_loop(0, TB, step, carry)
+
+        # ---- per-block weight/bias gradient accumulation ----
+        dwhh1_ref[...] += block_dw(hpbuf[:, :, :H], dpbuf[:, :, :3 * H])
+        dwhh2_ref[...] += block_dw(hpbuf[:, :, H:], dpbuf[:, :, 3 * H:])
+        dwih2x_ref[...] += block_dw(hbuf[slot][:, :, :H],
+                                    obuf[slot][:, :, 3 * H:])
+        dbhh1_ref[...] += jnp.sum(dpbuf[:, :, :3 * H],
+                                  axis=(0, 1))[None, :]
+        dbhh2_ref[...] += jnp.sum(dpbuf[:, :, 3 * H:],
+                                  axis=(0, 1))[None, :]
+
+        odma(slot, b).start()
+        return carry
+
+    zero = jnp.zeros((Bp, H), jnp.float32)
+    jax.lax.fori_loop(0, NB, block, (zero, zero))
+    @pl.when(NB >= 2)
+    def _():
+        odma(jax.lax.rem(NB, 2), 1).wait()
+    odma(jax.lax.rem(NB - 1, 2), 0).wait()
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers + custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _pad_tbd(x, Bp, Tp):
+    """(T, B, D) padded to (Tp, Bp, D) — the kernels are TIME-MAJOR so the
+    wrapper never transposes sample-rate tensors (an earlier batch-major
+    API spent ~3 ms/step relayouting 270 MB streams around the kernels)."""
+    return jnp.pad(x, ((0, Tp - x.shape[0]), (0, Bp - x.shape[1]), (0, 0)))
+
+
+def _fwd_call(xp1, base2, wih2x, whh1, bhh1, whh2, bhh2, interpret):
+    T, B, H3 = xp1.shape
+    H = H3 // 3
+    cdt = jnp.bfloat16 if PREC.mode() == "bf16" else jnp.float32
+    cb = 2 if cdt == jnp.bfloat16 else 4
+    Bp = max(8, _round_up(B, 8))
+    TB = _pick_tb((6 * H + 2 * H) * Bp * 4 + 8 * H * Bp * cb, T)
+    Tp = _round_up(T, TB)
+    NB = Tp // TB
+    xin = jnp.concatenate([_pad_tbd(xp1, Bp, Tp), _pad_tbd(base2, Bp, Tp)],
+                          axis=-1).reshape(NB, TB, Bp, 6 * H)
+    kern = functools.partial(_fwd_kernel, NB=NB, TB=TB, Bp=Bp, H=H, cdt=cdt)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    any_ = pl.BlockSpec(memory_space=pl.ANY)
+    hout, aout = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((NB, TB, Bp, 2 * H), jnp.float32),
+            jax.ShapeDtypeStruct((NB, TB, Bp, 8 * H), cdt),
+        ),
+        in_specs=[any_] + [vmem] * 5,
+        out_specs=(any_, any_),
+        scratch_shapes=[
+            pltpu.VMEM((2, TB, Bp, 6 * H), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, TB, Bp, 2 * H), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, TB, Bp, 8 * H), cdt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(xin, whh1.astype(cdt), wih2x.astype(cdt), whh2.astype(cdt),
+      bhh1[None, :].astype(jnp.float32), bhh2[None, :].astype(jnp.float32))
+    hs = hout.reshape(Tp, Bp, 2 * H)
+    h1s = hs[:T, :B, :H]                               # (T, B, H)
+    h2s = hs[:T, :B, H:]
+    return (h1s, h2s), (hout, aout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gru_pair(interpret, xp1, base2, wih2x, whh1, bhh1, whh2, bhh2):
+    (h1s, h2s), _ = _fwd_call(xp1, base2, wih2x, whh1, bhh1, whh2, bhh2,
+                              interpret)
+    return h1s, h2s
+
+
+def _gru_pair_fwd(interpret, xp1, base2, wih2x, whh1, bhh1, whh2, bhh2):
+    (h1s, h2s), (hout, aout) = _fwd_call(xp1, base2, wih2x, whh1, bhh1,
+                                         whh2, bhh2, interpret)
+    shapes = (xp1.shape[1], xp1.shape[0])          # (B, T); inputs (T,B,·)
+    return (h1s, h2s), (hout, aout, wih2x, whh1, whh2, shapes)
+
+
+def _gru_pair_bwd(interpret, res, cts):
+    hout, aout, wih2x, whh1, whh2, (B, T) = res
+    dh1s, dh2s = cts
+    H = whh1.shape[0]
+    cdt = jnp.bfloat16 if PREC.mode() == "bf16" else jnp.float32
+    cb = 2 if cdt == jnp.bfloat16 else 4
+    Bp = max(8, _round_up(B, 8))
+    per_step = (8 * H * cb          # acts in
+                + (2 * H + 2 * H + 6 * H) * 4)   # hs + dh in, dx out
+    TB = _pick_tb(per_step * Bp, T)
+    Tp = _round_up(T, TB)
+    NB = Tp // TB
+    # the fwd block size may differ; re-block the saved streams
+    aout = aout.reshape(-1, Bp, 8 * H)
+    hs = hout.reshape(-1, Bp, 2 * H)
+    if aout.shape[0] > Tp:
+        aout, hs = aout[:Tp], hs[:Tp]
+    elif aout.shape[0] < Tp:
+        pad = ((0, Tp - aout.shape[0]), (0, 0), (0, 0))
+        aout, hs = jnp.pad(aout, pad), jnp.pad(hs, pad)
+    ain = aout.reshape(NB, TB, Bp, 8 * H)
+    hsb = hs.reshape(NB, TB, Bp, 2 * H)
+    dh = jnp.concatenate([_pad_tbd(dh1s, Bp, Tp), _pad_tbd(dh2s, Bp, Tp)],
+                         axis=-1).reshape(NB, TB, Bp, 2 * H)
+
+    kern = functools.partial(_bwd_kernel, NB=NB, TB=TB, Bp=Bp, H=H, cdt=cdt)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    any_ = pl.BlockSpec(memory_space=pl.ANY)
+    outs = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((NB, TB, Bp, 6 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),
+        ),
+        in_specs=[any_, any_, any_] + [vmem] * 3,
+        out_specs=(any_, vmem, vmem, vmem, vmem, vmem),
+        scratch_shapes=[
+            pltpu.VMEM((2, TB, Bp, 8 * H), cdt),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, TB, Bp, 2 * H), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, TB, Bp, 2 * H), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, TB, Bp, 6 * H), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((TB, Bp, 6 * H), jnp.float32),
+            pltpu.VMEM((TB, Bp, 2 * H), jnp.float32),
+            pltpu.VMEM((2, Bp, 2 * H), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(ain, hsb, dh,
+      jnp.swapaxes(whh1.astype(cdt), 0, 1),
+      jnp.swapaxes(wih2x.astype(cdt), 0, 1),
+      jnp.swapaxes(whh2.astype(cdt), 0, 1))
+    dx, dwhh1, dwih2x, dwhh2, dbhh1, dbhh2 = outs
+    dx = dx.reshape(Tp, Bp, 6 * H)[:T, :B]
+    dxp1 = dx[..., :3 * H]
+    dbase2 = dx[..., 3 * H:]
+    return (dxp1, dbase2, dwih2x, dwhh1, dbhh1[0], dwhh2, dbhh2[0])
+
+
+_gru_pair.defvjp(_gru_pair_fwd, _gru_pair_bwd)
+
+
+def gru_pair(xp1: jnp.ndarray, base2: jnp.ndarray, wih2x: jnp.ndarray,
+             whh1: jnp.ndarray, bhh1: jnp.ndarray, whh2: jnp.ndarray,
+             bhh2: jnp.ndarray, interpret: bool = False):
+    """Fused teacher-forced GRU pair (training-capable), TIME-MAJOR.
+
+    h1_t = GRUCell(h1_{t-1}; xp1_t)          with hp = h1_{t-1} @ whh1 + bhh1
+    h2_t = GRUCell(h2_{t-1}; base2_t + h1_t @ wih2x)   (hp via whh2 + bhh2)
+
+    Args: xp1/base2 (T, B, 3H) f32 hoisted input projections (biases
+    folded in); weights (H, 3H); bhh (3H,).  Returns (h1s, h2s), each
+    (T, B, H) f32.  Time-major in AND out: callers keep the whole
+    sample-rate graph time-major around the kernel (relayouting the
+    270 MB streams cost ~3 ms/step in the batch-major variant).
+    Differentiable via the saved-activations backward kernel (custom VJP).
+    """
+    return _gru_pair(interpret, xp1, base2, wih2x, whh1, bhh1, whh2, bhh2)
+
+
+def pair_supported(rnn_dims: int, interpret: bool = False) -> bool:
+    """Hardware-kernel geometry gate (mirrors wavernn_pallas's contract)."""
+    return interpret or (jax.default_backend() == "tpu"
+                         and rnn_dims % 128 == 0)

@@ -150,6 +150,143 @@ def _hoist_xp0(params0, x):
             + params0["b_hh"])
 
 
+# ---------------------------------------------------------------------------
+# Streamed slab kernel: serving row counts (B > 8), weights VMEM-resident,
+# time axis streamed through HBM in double-buffered blocks
+# ---------------------------------------------------------------------------
+
+_STREAM_TB_CAP = 16
+_STREAM_BUDGET = 48 << 20
+
+
+def _stream_kernel(xin_hbm,         # (NB, TB, Bp, 4H) f32: layer-0 xp
+                   whh_ref,         # (L, H, 4H) cdt
+                   wih_ref,         # (max(L-1,1), H, 4H) cdt
+                   b_ref,           # (max(L-1,1), 1, 4H) f32
+                   yout_hbm,        # (NB, TB, Bp, H) f32: last-layer h
+                   xbuf, xsem, ybuf, ysem,
+                   *, NB, TB, Bp, H, L, cdt):
+    def xdma(slot, b):
+        return pltpu.make_async_copy(xin_hbm.at[b], xbuf.at[slot],
+                                     xsem.at[slot])
+
+    def ydma(slot, b):
+        return pltpu.make_async_copy(ybuf.at[slot], yout_hbm.at[b],
+                                     ysem.at[slot])
+
+    def dot(a, w):
+        return jnp.dot(a.astype(cdt), w[...],
+                       preferred_element_type=jnp.float32)
+
+    xdma(0, 0).start()
+
+    def block(b, carry):
+        slot = jax.lax.rem(b, 2)
+
+        @pl.when(b + 1 < NB)
+        def _():
+            xdma(jax.lax.rem(b + 1, 2), b + 1).start()
+
+        xdma(slot, b).wait()
+
+        @pl.when(b >= 2)
+        def _():
+            ydma(slot, b - 2).wait()
+
+        def step(i, carry):
+            hs, cs = carry
+            xp = xbuf[slot, i]                     # (Bp, 4H) f32
+            new_h, new_c = [], []
+            for l in range(L):
+                inp = xp if l == 0 else (
+                    dot(new_h[l - 1], wih_ref[l - 1]) + b_ref[l - 1, 0])
+                gates = inp + dot(hs[l], whh_ref[l])
+                ai, af, ag, ao = jnp.split(gates, 4, axis=-1)
+                c = (jax.nn.sigmoid(af) * cs[l]
+                     + jax.nn.sigmoid(ai) * jnp.tanh(ag))
+                new_h.append(jax.nn.sigmoid(ao) * jnp.tanh(c))
+                new_c.append(c)
+            ybuf[slot, i] = new_h[L - 1]
+            return (tuple(new_h), tuple(new_c))
+
+        carry = jax.lax.fori_loop(0, TB, step, carry)
+        ydma(slot, b).start()
+        return carry
+
+    zero = tuple(jnp.zeros((Bp, H), jnp.float32) for _ in range(L))
+    jax.lax.fori_loop(0, NB, block, (zero, zero))
+    @pl.when(NB >= 2)
+    def _():
+        ydma(jax.lax.rem(NB, 2), NB - 2).wait()
+    ydma(jax.lax.rem(NB - 1, 2), NB - 1).wait()
+
+
+def lstm_stack_stream(params: Sequence, x: jnp.ndarray,
+                      interpret: bool = False):
+    """Uniform-H LSTM stack inference at SERVING row counts, one fused
+    streamed kernel.
+
+    Same output contract as :func:`lstm_stack_pallas`, but the per-step
+    tensors stream through HBM in double-buffered blocks instead of living
+    wholly in VMEM — so it handles slab geometries (64 rows x 400 steps x
+    2x1024: ~420 MB of hoisted projections) the resident kernel cannot.
+    All L layers advance at the SAME timestep per round (layer l's input
+    projection of layer l-1's fresh output runs in-kernel against the
+    VMEM-resident ``w_ih``), so a round is L chained matmul pairs with no
+    scan-loop weight re-streaming — the XLA skewed scan this replaces
+    measured 18.5 us/round vs an 8.2 us compute floor at the slab geometry
+    (scripts/exp_slab_stages.py, VERDICT r4 #6).
+    """
+    L = len(params)
+    B, T, _ = x.shape
+    H = params[0]["w_hh"].shape[0]
+    cdt = (jnp.bfloat16
+           if (PREC.mode() == "bf16" and H >= PREC.REC_BF16_MIN_HIDDEN)
+           else jnp.float32)
+    Bp = max(8, _round_up(B, 8))
+    per_step = (4 * H + H) * Bp * 4
+    TB = max(8, min(_STREAM_TB_CAP,
+                    (_STREAM_BUDGET // (2 * per_step)) // 8 * 8,
+                    _round_up(T, 8)))
+    Tp = _round_up(T, TB)
+    NB = Tp // TB
+
+    xp0 = _hoist_xp0(params[0], x)                       # (B, T, 4H) f32
+    xp0 = jnp.swapaxes(xp0, 0, 1)
+    xp0 = jnp.pad(xp0, ((0, Tp - T), (0, Bp - B), (0, 0)))
+    xin = xp0.reshape(NB, TB, Bp, 4 * H)
+
+    whh = jnp.stack([p["w_hh"] for p in params]).astype(cdt)
+    if L > 1:
+        wih = jnp.stack([p["w_ih"] for p in params[1:]]).astype(cdt)
+        b = jnp.stack([(p["b_ih"] + p["b_hh"])[None, :]
+                       for p in params[1:]]).astype(jnp.float32)
+    else:
+        wih = jnp.zeros((1, 8, 128), cdt)
+        b = jnp.zeros((1, 1, 4 * H), jnp.float32)
+
+    kern = functools.partial(_stream_kernel, NB=NB, TB=TB, Bp=Bp, H=H, L=L,
+                             cdt=cdt)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    yout = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((NB, TB, Bp, H), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), vmem, vmem, vmem],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, TB, Bp, 4 * H), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, TB, Bp, H), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(xin, whh, wih, b)
+    ys = yout.reshape(Tp, Bp, H)[:T, :B]
+    return jnp.swapaxes(ys, 0, 1)
+
+
 def lstm_stack_pallas(params: Sequence, x: jnp.ndarray,
                       interpret: bool = False):
     """Uniform-H LSTM stack inference, one fused kernel.

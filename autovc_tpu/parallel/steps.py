@@ -103,7 +103,10 @@ def make_sharded_se_step(cfg: SpeakerEncoderConfig,
 
     def step(params, opt_state, block):
         with PREC.compute(precision):
-            loss_val, grads = jax.value_and_grad(SE.batch_ge2e_loss)(
+            # fast_kernels=False: the Pallas stack kernel carries no GSPMD
+            # sharding rule (same invariant as the AE/vocoder fast paths)
+            loss_val, grads = jax.value_and_grad(
+                lambda p, b: SE.batch_ge2e_loss(p, b, fast_kernels=False))(
                 params, block)
         grads = dict(grads,
                      similarity_weight=grads["similarity_weight"] * 0.01,
@@ -134,7 +137,10 @@ def make_sharded_vocoder_step(cfg, tx: optax.GradientTransformation,
 
     def step(params, opt_state, x_in, y, mels):
         def loss_fn(p):
-            return WR.loss(p, x_in, y, mels, cfg, train=True)
+            # fast_kernels=False: the Pallas GRU-pair kernel carries no
+            # GSPMD sharding rule (same invariant as the AE's fast path)
+            return WR.loss(p, x_in, y, mels, cfg, train=True,
+                           fast_kernels=False)
 
         with PREC.compute(precision):
             (loss_val, params_bn), grads = jax.value_and_grad(

@@ -231,6 +231,19 @@ def main():
                                       "bf16"), repeats=3)
         entries.append(RL.account("ae_serve_slab64(bf16)", fl64, by64,
                                   slab_dt, spec, compute_dtype="bf16"))
+        # production slab geometry: the cost-based picker routes serving
+        # workloads to 128-row slabs, which fill the decoder stack's
+        # 128-row MXU passes (64 rows runs them half-empty — a hardware
+        # occupancy bound, not an implementation gap)
+        slab128 = jnp.asarray(np.tile(np.asarray(chunks),
+                                      (-(-128 // M), 1, 1))[:128])
+        c128 = jnp.broadcast_to(jnp.asarray(c), (128, 256))
+        fl128, by128 = RL.ae_forward_cost(ae_cfg, 128, N)
+        slab128_dt, _, _ = _timeit(
+            lambda i: AE.convert_slab(ae_params, slab128, c128, c128,
+                                      ae_cfg, "bf16"), repeats=3)
+        entries.append(RL.account("ae_serve_slab128(bf16)", fl128, by128,
+                                  slab128_dt, spec, compute_dtype="bf16"))
 
     # ---- component: WaveRNN conditioning + sampling kernel --------------
     post = AE.batch_forward_jit(ae_params, chunks, c, c, ae_cfg, 0.5, "auto")

@@ -138,6 +138,14 @@ def main():
     results["dec_lstm2_perlayer_ms"] = round(
         timeit(lambda i: f(params, hpre_t))*1e3, 3)
 
+    from autovc_tpu.ops import lstm_pallas as LP
+
+    def lstm2_stream(p, h):
+        return LP.lstm_stack_stream(p["decoder"]["lstm2"], h)
+    f = staged(lstm2_stream)
+    results["dec_lstm2_stream_ms"] = round(
+        timeit(lambda i: f(params, hpre_t))*1e3, 3)
+
     mel_in = jax.device_put(rng.random((S, cfg.n_mels, T)).astype(np.float32))
 
     def postnet(p, h):

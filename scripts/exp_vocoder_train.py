@@ -118,15 +118,19 @@ def main():
     results["grad_ms"] = round(dt_g * 1e3, 3)
 
     # ---- batch scaling (weight-streaming amortisation probe) ------------
+    # opt state device-resident OUTSIDE the timed lambda (the r5a run
+    # re-ran tx.init per call and measured the opt-state upload, not the
+    # step)
+    opt0 = tx.init(params)
     for b in (16, 64, 128):
         x2, y2, m2 = make_batch(b, seqf)
-        dt = timeit(lambda i: step(params, tx.init(params), x2, y2, m2)[:2])
+        dt = timeit(lambda i: step(params, opt0, x2, y2, m2)[:2])
         results[f"step_ms_b{b}"] = round(dt * 1e3, 3)
 
     # ---- seq_frames scaling (fixed-overhead amortisation probe) ---------
     for sf in (10, 20):
         x2, y2, m2 = make_batch(vb, sf)
-        dt = timeit(lambda i: step(params, tx.init(params), x2, y2, m2)[:2])
+        dt = timeit(lambda i: step(params, opt0, x2, y2, m2)[:2])
         results[f"step_ms_seqf{sf}"] = round(dt * 1e3, 3)
 
     print(json.dumps(results, indent=1))

@@ -36,6 +36,23 @@ def test_decoder_geometry_parity():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("L,B,T,I,H", [(2, 12, 21, 10, 8),
+                                       (1, 5, 40, 6, 16),
+                                       (3, 9, 13, 4, 8)])
+def test_lstm_stack_stream_matches_scan(L, B, T, I, H):
+    """The streamed serving-slab kernel (double-buffered HBM step blocks,
+    all layers chained per round) must match the scan at any geometry,
+    incl. row/step padding far from the 8/block alignments."""
+    rng = np.random.default_rng(L * 31 + B)
+    params = R.init_lstm_stack(jax.random.PRNGKey(L + 5), I, H, L)
+    x = jnp.asarray(rng.standard_normal((B, T, I)).astype(np.float32))
+    ref, _, _ = R.lstm_stack(params, x)
+    out = LP.lstm_stack_stream(params, x, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_bf16_gate_deviation_bounded():
     """The kernel's intentional precision deviation (precision.py policy
     comment): at B=1, H>=256 under the bf16 policy the kernel runs its
