@@ -53,10 +53,14 @@ def save_wav(path: str, wav: np.ndarray, sr: int) -> None:
 
 
 def resample(wav: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
-    """Polyphase resampling (e.g. 48000 -> 22050 uses 147/320)."""
+    """Polyphase resampling (e.g. 48000 -> 22050 uses 147/320).
+
+    float32 filtering: the f64 path measured ~2x the host time in batch
+    serving for a ~1e-7 output difference (the FIR taps are the accuracy
+    limit, not the accumulator)."""
     if orig_sr == target_sr:
         return wav
     g = math.gcd(int(orig_sr), int(target_sr))
     up, down = target_sr // g, orig_sr // g
-    return _signal.resample_poly(wav.astype(np.float64), up, down).astype(
-        np.float32)
+    return _signal.resample_poly(
+        np.asarray(wav, np.float32), up, down).astype(np.float32)

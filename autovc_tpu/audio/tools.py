@@ -145,10 +145,13 @@ def remove_noise(wav, sr, n_fft=1024, hop_length=256, noise_quantile=0.1,
     reference's ``noisereduce.reduce_noise`` call (tools.py:284-303).
     """
     import scipy.fft as _sfft
-    wav = np.asarray(wav, dtype=np.float64)
+    # float32 throughout: the denoiser is a soft spectral gate, not an
+    # exact-parity path, and the f64 FFT pair measured ~2x the whole
+    # host post-processing stage of batch serving (r5 attribution)
+    wav = np.asarray(wav, dtype=np.float32)
     if len(wav) < n_fft:
-        return wav.astype(np.float32)
-    window = dsp.padded_window(n_fft, n_fft)
+        return wav
+    window = dsp.padded_window(n_fft, n_fft).astype(np.float32)
     frames = dsp.frame_signal(wav, n_fft, hop_length, center=True)
     # scipy's pocketfft with workers=-1 parallelises the batched transform
     # across cores (np.fft is single-threaded) — this FFT pair is the
@@ -173,7 +176,7 @@ def remove_noise(wav, sr, n_fft=1024, hop_length=256, noise_quantile=0.1,
     # samples) lands at (t + r) * hop, so the whole OLA is n_fft//hop
     # strided adds of contiguous views
     T = len(frames)
-    out = np.zeros(T * hop_length + n_fft)
+    out = np.zeros(T * hop_length + n_fft, np.float32)
     wsum = np.zeros_like(out)
     w2 = window ** 2
     if n_fft % hop_length == 0:

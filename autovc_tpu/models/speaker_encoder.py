@@ -17,6 +17,7 @@ Fixes over the reference (SURVEY.md §2a quirks):
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict
 
 import jax
@@ -85,32 +86,86 @@ def embed_utterance(params: Params, wav: np.ndarray,
     return embed
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "p_max"))
+def _device_partial_rows(wav: jnp.ndarray, starts: jnp.ndarray, cfg,
+                         p_max: int) -> jnp.ndarray:
+    """Device-side partial-window extraction: power mel of a (bucketed)
+    wav, then a window gather at the utterance's true mel-slice starts.
+    ``p_max`` is the partial count of a FULL bucket, so one program serves
+    every utterance in that bucket; padding rows (start 0) are dropped by
+    the caller."""
+    from autovc_tpu.ops import melspec as dev_mel
+    mel = dev_mel.mel_spec_speaker_encoder(wav, cfg)   # (F, n_mels)
+    n = cfg.partial_utterance_n_frames
+    idx = starts[:, None] + jnp.arange(n)[None, :]     # (p_max, n)
+    return mel[idx]                                    # (p_max, n, mels)
+
+
+@functools.lru_cache(maxsize=64)
+def _bucket_partials(n_samples: int, sr: int, n_frames: int,
+                     mel_window_step: float) -> int:
+    """Partial count of a full bucket-length wav (static per bucket)."""
+    _, mel_slices = dsp.compute_partial_slices(
+        n_samples, sr, partial_utterance_n_frames=n_frames,
+        mel_window_step=mel_window_step)
+    return len(mel_slices)
+
+
 def embed_utterances(params: Params, wavs,
                      cfg: SpeakerEncoderConfig = SpeakerEncoderConfig(),
-                     **slice_kwargs):
-    """d-vectors for SEVERAL utterances in ONE device call (serving path).
+                     device: bool | None = None, **slice_kwargs):
+    """d-vectors for SEVERAL utterances in ONE forward dispatch (the
+    serving path).  Returns a list of (emb,) arrays in input order.
 
-    Per-utterance :func:`embed_utterance` calls pay a host round-trip and a
-    fresh compile per distinct partial count; here every utterance's
-    partial slices join one (sum(P_i) rounded to 32, n_frames, n_mels)
-    batch through ONE ``forward`` dispatch, and the per-utterance
-    mean + L2-normalise runs on host.  Returns a list of (emb,) arrays in
-    input order.  Math is identical to per-utterance embedding with
-    ``use_native=True`` (the mel runs through the threaded C++ core,
-    parity-tested at rtol 2e-3 vs the numpy reference; numpy fallback
-    when the toolchain is absent).
+    ``device`` (None = auto: True on TPU): compute the power mels ON
+    DEVICE — each utterance's wav is padded to a 1 s bucket (bounded
+    compile variants) and its partial windows are gathered on device, so
+    the host does no FFT work at all (the host-mel loop was ~0.4 s of a
+    1.27 s blocked serve batch on a 2-core host, r5 attribution).  With
+    ``device=False`` the mels run through the threaded C++ host core —
+    numerics parity-tested against the device mel at rtol 2e-3
+    (tests/test_dsp.py's dev-vs-host gates); either path is identical to
+    per-utterance embedding with the same backend.
     """
-    batches, counts = [], []
-    for wav in wavs:
-        fb, _, _ = dsp.mel_spec_speaker_encoder_sliced(
-            wav, cfg.spectrogram, use_native=True, **slice_kwargs)
-        batches.append(np.asarray(fb))
-        counts.append(fb.shape[0])
-    rows = np.concatenate(batches, axis=0)
-    R = rows.shape[0]
-    Rb = -(-R // 32) * 32          # bounded compile-cache variants
-    if Rb != R:
-        rows = np.pad(rows, ((0, Rb - R), (0, 0), (0, 0)))
+    if device is None:
+        device = jax.default_backend() == "tpu"
+    sp = cfg.spectrogram
+    n_frames = slice_kwargs.get("partial_utterance_n_frames",
+                                sp.partial_utterance_n_frames)
+    step = slice_kwargs.get("mel_window_step", sp.mel_window_step)
+    counts, row_blocks = [], []
+    if device:
+        for wav in wavs:
+            wav_slices, mel_slices = dsp.compute_partial_slices(
+                len(wav), sp.sr, partial_utterance_n_frames=n_frames,
+                mel_window_step=step)
+            wav_p = dsp.pad_for_slices(np.asarray(wav, np.float32),
+                                       wav_slices)
+            Lb = -(-len(wav_p) // sp.sr) * sp.sr       # 1 s buckets
+            p_max = _bucket_partials(Lb, sp.sr, n_frames, step)
+            starts = np.zeros(p_max, np.int32)
+            true = [int(s.start) for s in mel_slices]
+            starts[:len(true)] = true
+            row_blocks.append(_device_partial_rows(
+                jnp.asarray(np.pad(wav_p, (0, Lb - len(wav_p)))),
+                jnp.asarray(starts), sp, p_max)[:len(true)])
+            counts.append(len(true))
+        rows = jnp.concatenate(row_blocks, axis=0)
+        R = int(rows.shape[0])
+        Rb = -(-R // 32) * 32
+        if Rb != R:
+            rows = jnp.pad(rows, ((0, Rb - R), (0, 0), (0, 0)))
+    else:
+        for wav in wavs:
+            fb, _, _ = dsp.mel_spec_speaker_encoder_sliced(
+                wav, sp, use_native=True, **slice_kwargs)
+            row_blocks.append(np.asarray(fb))
+            counts.append(fb.shape[0])
+        rows = np.concatenate(row_blocks, axis=0)
+        R = rows.shape[0]
+        Rb = -(-R // 32) * 32          # bounded compile-cache variants
+        if Rb != R:
+            rows = np.pad(rows, ((0, Rb - R), (0, 0), (0, 0)))
     emb = np.asarray(forward_jit(params, rows))
     outs, r = [], 0
     for n in counts:

@@ -48,6 +48,7 @@ def _fused_convert_jit():
     target, backend) is static, resolved on host before the call.
     """
     import jax
+    import jax.numpy as jnp
 
     from autovc_tpu.models import autoencoder as AEm
     from autovc_tpu.models import wavernn as WRm
@@ -61,14 +62,22 @@ def _fused_convert_jit():
     def run(ae_params, wr_params, wav, c_src, c_trg, key, *, ae_cfg,
             starts, overlap, precision, wr_cfg, target, wr_overlap,
             batched, mu_law, fast_math, unroll, backend):
+        # int16 I/O: the wav payload crosses the (possibly tunneled) link
+        # in PCM16 both ways — half the transfer bytes of f32, and the
+        # audio was int16 PCM at the file boundary anyway (~3e-5
+        # re-quantisation after host preprocessing)
+        if wav.dtype == jnp.int16:
+            wav = wav.astype(jnp.float32) / 32767.0
         mel_cfg = ae_cfg.spectrogram
         chunks = dev_mel._slice_mel(wav, mel_cfg, starts,
                                     mel_cfg.partial_utterance_n_frames)
         post = AEm.batch_forward(ae_params, chunks, c_src, c_trg, ae_cfg,
                                  overlap, precision)
-        return WRm._generate_program(wr_params, post[None], key, wr_cfg,
-                                     target, wr_overlap, batched, mu_law,
-                                     fast_math, unroll, backend, False)
+        out = WRm._generate_program(wr_params, post[None], key, wr_cfg,
+                                    target, wr_overlap, batched, mu_law,
+                                    fast_math, unroll, backend, False)
+        return jnp.clip(jnp.round(out * 32767.0), -32767,
+                        32767).astype(jnp.int16)
 
     return run
 
@@ -140,15 +149,16 @@ class VoiceConverter:
     def _embed(self, audio: Audio) -> np.ndarray:
         """d-vector of an utterance, at the SE's native sample rate.
 
-        use_native=True matches the batch path (`_embed_many`), so the
-        same speaker embeds identically through convert and convert_batch.
-        """
+        Routed through ``embed_utterances`` as a batch of one, so the same
+        speaker embeds IDENTICALLY through convert and convert_batch by
+        construction — on every backend (the r5 device-mel embed path
+        included)."""
         from autovc_tpu.models import speaker_encoder as SEm
         wav = audio.wav
         if audio.sr != self.SE.config.spectrogram.sr:
             wav = io.resample(wav, audio.sr, self.SE.config.spectrogram.sr)
-        return SEm.embed_utterance(self.SE.params, wav, self.SE.config,
-                                   use_native=True)
+        return SEm.embed_utterances(self.SE.params, [wav],
+                                    self.SE.config)[0]
 
     def _embed_many(self, audios) -> list:
         """d-vectors for several utterances in ONE device dispatch
@@ -199,15 +209,17 @@ class VoiceConverter:
                                       g.overlap, g.batched, False,
                                       total_frames, True)
         mu_law = g.mu_law and wr_cfg.mode == "RAW"
+        wav_i16 = np.clip(np.round(np.asarray(wav_p, np.float64) * 32767.0),
+                          -32767, 32767).astype(np.int16)
         out = _fused_convert_jit()(
-            ae_params, self.vocoder.params, wav_p,
+            ae_params, self.vocoder.params, wav_i16,
             np.asarray(c_source, np.float32),
             np.asarray(c_target, np.float32), jax.random.PRNGKey(seed),
             ae_cfg=ae_cfg, starts=starts, overlap=overlap,
             precision=self.ae_precision, wr_cfg=wr_cfg, target=target,
             wr_overlap=g.overlap, batched=g.batched, mu_law=mu_law,
             fast_math=True, unroll=4, backend=backend)
-        return np.asarray(out, np.float32)
+        return np.asarray(out).astype(np.float32) / 32767.0
 
     def _speaker_embedding(self, target, preprocess, preprocess_args,
                            sr) -> np.ndarray:

@@ -438,12 +438,15 @@ def main():
         overlap=0.5,
         mel_window_step=ae_cfg.spectrogram.mel_window_step)
     wav_padded = dsp.pad_for_slices(np.asarray(wav), wav_slices_l)
+    # PCM16 both ways across the link, exactly as the product path sends it
+    wav_i16 = np.clip(np.round(wav_padded.astype(np.float64) * 32767.0),
+                      -32767, 32767).astype(np.int16)
     starts_l = tuple(int(s.start) for s in mel_slices_l)
     fused = VCmod._fused_convert_jit()
     mu_law_l = wr_cfg.generate.mu_law and wr_cfg.mode == "RAW"
 
     def fused_call(s):
-        return fused(ae_params, wr_params, wav_padded, c, c,
+        return fused(ae_params, wr_params, wav_i16, c, c,
                      jax.random.PRNGKey(s), ae_cfg=ae_cfg, starts=starts_l,
                      overlap=0.5, precision="auto", wr_cfg=wr_cfg,
                      target=tgt, wr_overlap=g.overlap, batched=True,

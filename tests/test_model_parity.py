@@ -498,3 +498,25 @@ def test_generate_long_audio_xla_slab_tiling():
                       target=target, overlap=overlap, backend="xla")
     assert out.shape == ((F - 1) * cfg.hop_length,)
     assert np.isfinite(out).all()
+
+
+def test_embed_utterances_device_matches_host():
+    """The device-mel embed path (r5: power mel + partial-window gather on
+    device, 1 s wav buckets) must agree with the host C++/numpy mel path —
+    same d-vectors within the dev-vs-host mel tolerance."""
+    import jax
+
+    from autovc_tpu.config import SpeakerEncoderConfig
+    from autovc_tpu.models import speaker_encoder as SE
+    cfg = SpeakerEncoderConfig()
+    params = SE.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    wavs = [rng.uniform(-0.4, 0.4, n).astype(np.float32)
+            for n in (32000, 49531, 70000)]
+    host = SE.embed_utterances(params, wavs, cfg, device=False)
+    dev = SE.embed_utterances(params, wavs, cfg, device=True)
+    assert len(host) == len(dev) == 3
+    for h, d in zip(host, dev):
+        assert np.linalg.norm(h) == pytest.approx(1.0, abs=1e-4)
+        cos = float(np.dot(h, d))
+        assert cos > 0.9995, cos
