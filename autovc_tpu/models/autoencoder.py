@@ -514,18 +514,33 @@ def batch_forward_packed(params: Params, chunk_sets, c_orgs, c_trg,
     stacked = jnp.concatenate(list(chunk_sets), axis=0)
     if R_b != rows:
         stacked = jnp.pad(stacked, ((0, R_b - rows), (0, 0), (0, 0)))
-    c_rows = np.zeros((R_b, np.shape(c_trg)[-1]), np.float32)
+    E = np.shape(c_trg)[-1]
     offsets = np.full((R_b,), Fp_b, np.int32)          # default: trash window
     r = 0
     for u, m in enumerate(counts):
-        c_rows[r:r + m] = np.asarray(c_orgs[u])[None]
         offsets[r:r + m] = starts[u] + np.arange(m) * step
         r += m
+    if isinstance(c_orgs, jnp.ndarray):
+        # DEVICE embeddings (speaker_encoder.embed_utterances block=False):
+        # assemble the per-row source-embedding block on device so the
+        # SE -> AE chain never syncs the host
+        c_rows = jnp.concatenate(
+            [jnp.broadcast_to(c_orgs[u][None], (m, E))
+             for u, m in enumerate(counts)])
+        if R_b != rows:
+            c_rows = jnp.pad(c_rows, ((0, R_b - rows), (0, 0)))
+    else:
+        c_np = np.zeros((R_b, E), np.float32)
+        r = 0
+        for u, m in enumerate(counts):
+            c_np[r:r + m] = np.asarray(c_orgs[u])[None]
+            r += m
+        c_rows = jnp.asarray(c_np)
 
     c_trgs = jnp.broadcast_to(jnp.asarray(c_trg).reshape(1, -1),
-                              (slab_rows, np.shape(c_trg)[-1]))
+                              (slab_rows, E))
     mel_rows = [convert_slab(params, stacked[s:s + slab_rows],
-                             jnp.asarray(c_rows[s:s + slab_rows]), c_trgs,
+                             c_rows[s:s + slab_rows], c_trgs,
                              cfg, precision)
                 for s in range(0, R_b, slab_rows)]
     mel_rows = mel_rows[0] if len(mel_rows) == 1 \

@@ -128,7 +128,11 @@ def mel_spec_auto_encoder(wav: jnp.ndarray,
 
     (n_samples,) -> (n_mels, n_frames); matches
     ``dsp.mel_spec_auto_encoder`` / reference spectrogram.py:62-142.
+    int16 input is PCM16 (dequantised on device — serving paths upload
+    half the bytes over slow links).
     """
+    if wav.dtype == jnp.int16:
+        wav = wav.astype(jnp.float32) / 32767.0
     out = _stft_re_im(wav, cfg.n_fft, cfg.hop_length, cfg.window_length)
     n_bins = 1 + cfg.n_fft // 2
     re, im = out[:, :n_bins], out[:, n_bins:]
@@ -149,7 +153,8 @@ def _slice_mel(wav: jnp.ndarray, cfg: MelConfig, starts: tuple, n: int):
 def mel_spec_auto_encoder_sliced(wav: np.ndarray,
                                  cfg: MelConfig = MelConfig(),
                                  overlap: float = 0.5,
-                                 min_pad_coverage: float = 0.75):
+                                 min_pad_coverage: float = 0.75,
+                                 pcm16: bool = False):
     """Device-resident ``cut=True`` AE mel path: (n_chunks, n_mels, N) chunks
     ON DEVICE plus the mel slices.
 
@@ -158,7 +163,9 @@ def mel_spec_auto_encoder_sliced(wav: np.ndarray,
     and the chunk extraction run on device, so the only host->device
     transfer is the raw waveform — ~6x less traffic than shipping the
     50%%-overlapped chunk stack (matters on slow interconnects and keeps the
-    whole pipeline on-chip).
+    whole pipeline on-chip).  ``pcm16=True`` uploads the wav as int16
+    (half the bytes again; ~3e-5 re-quantisation — the serving paths'
+    choice, as the audio was int16 PCM at the file boundary).
     """
     wav_slices, mel_slices = dsp.compute_partial_slices(
         len(wav), cfg.sr,
@@ -166,6 +173,9 @@ def mel_spec_auto_encoder_sliced(wav: np.ndarray,
         min_pad_coverage=min_pad_coverage, overlap=overlap,
         mel_window_step=cfg.mel_window_step)
     wav = dsp.pad_for_slices(np.asarray(wav), wav_slices)
+    if pcm16:
+        wav = np.clip(np.round(wav.astype(np.float64) * 32767.0),
+                      -32767, 32767).astype(np.int16)
     starts = tuple(int(s.start) for s in mel_slices)
     chunks = _slice_mel(jnp.asarray(wav), cfg, starts,
                         cfg.partial_utterance_n_frames)
@@ -179,7 +189,10 @@ def mel_spec_speaker_encoder(wav: jnp.ndarray,
     """Speaker-encoder mel on device: power mel, (n_frames, n_mels).
 
     Matches ``dsp.mel_spec_speaker_encoder`` / reference spectrogram.py:144-219.
+    int16 input is PCM16 (dequantised on device).
     """
+    if wav.dtype == jnp.int16:
+        wav = wav.astype(jnp.float32) / 32767.0
     out = _stft_re_im(wav, cfg.n_fft, cfg.hop_length, cfg.n_fft)
     n_bins = 1 + cfg.n_fft // 2
     re, im = out[:, :n_bins], out[:, n_bins:]

@@ -160,14 +160,17 @@ class VoiceConverter:
         return SEm.embed_utterances(self.SE.params, [wav],
                                     self.SE.config)[0]
 
-    def _embed_many(self, audios) -> list:
+    def _embed_many(self, audios):
         """d-vectors for several utterances in ONE device dispatch
-        (speaker_encoder.embed_utterances) — the batch-serving path."""
+        (speaker_encoder.embed_utterances) — the batch-serving path.
+        On the device path the result stays a DEVICE array (block=False)
+        so the SE -> AE dispatch chain never syncs the host."""
         from autovc_tpu.models import speaker_encoder as SEm
         se_sr = self.SE.config.spectrogram.sr
         wavs = [a.wav if a.sr == se_sr else io.resample(a.wav, a.sr, se_sr)
                 for a in audios]
-        return SEm.embed_utterances(self.SE.params, wavs, self.SE.config)
+        return SEm.embed_utterances(self.SE.params, wavs, self.SE.config,
+                                    block=False)
 
     def _ae_params(self, use_ema: bool):
         """Auto-encoder params, optionally the EMA-smoothed copy saved by
@@ -510,7 +513,8 @@ class VoiceConverter:
         with ThreadPoolExecutor(max_workers=min(8, len(sources) or 1)) as ex:
             audios = list(ex.map(_load, sources))
         all_chunks = [dev_mel.mel_spec_auto_encoder_sliced(
-            a.wav, ae_cfg.spectrogram, overlap=overlap)[0] for a in audios]
+            a.wav, ae_cfg.spectrogram, overlap=overlap, pcm16=True)[0]
+            for a in audios]
         c_orgs = self._embed_many(audios)
 
         ae_params = self._ae_params(use_ema)

@@ -565,9 +565,12 @@ def main():
             prepped = list(ex.map(_prep,
                                   zip(paths or [None] * len(wavs), wavs)))
         all_chunks = [dev_mel.mel_spec_auto_encoder_sliced(
-            a.wav, ae_cfg.spectrogram)[0] for a, _ in prepped]
+            a.wav, ae_cfg.spectrogram, pcm16=True)[0] for a, _ in prepped]
+        # block=False: the SE -> AE -> vocoder device chain is dispatched
+        # end to end with no host sync until the collector is called
         embeds = SEm.embed_utterances(se_params,
-                                      [w16 for _, w16 in prepped], se_cfg)
+                                      [w16 for _, w16 in prepped], se_cfg,
+                                      block=False)
         packed, starts, lengths = AE.batch_forward_packed(
             ae_params, all_chunks, embeds, c, ae_cfg, 0.5, "auto")
         post_mels = [packed[:, s:s + L] for s, L in zip(starts, lengths)]
@@ -591,7 +594,7 @@ def main():
     st["host_load_preprocess_resample"] = time.time() - t0
     t0 = time.time()
     chunks_i = [dev_mel.mel_spec_auto_encoder_sliced(
-        a.wav, ae_cfg.spectrogram)[0] for a, _ in prepped_i]
+        a.wav, ae_cfg.spectrogram, pcm16=True)[0] for a, _ in prepped_i]
     _sync(chunks_i[-1])
     st["device_mel_slice"] = time.time() - t0
     t0 = time.time()

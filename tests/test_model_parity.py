@@ -520,3 +520,23 @@ def test_embed_utterances_device_matches_host():
         assert np.linalg.norm(h) == pytest.approx(1.0, abs=1e-4)
         cos = float(np.dot(h, d))
         assert cos > 0.9995, cos
+
+
+def test_embed_utterances_nonblocking_device_matches_blocking():
+    """block=False (device path) returns a DEVICE (n, E) array whose rows
+    equal the blocking per-utterance results."""
+    import jax
+
+    from autovc_tpu.config import SpeakerEncoderConfig
+    from autovc_tpu.models import speaker_encoder as SE
+    cfg = SpeakerEncoderConfig()
+    params = SE.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(6)
+    wavs = [rng.uniform(-0.4, 0.4, n).astype(np.float32)
+            for n in (32000, 49531)]
+    blocking = SE.embed_utterances(params, wavs, cfg, device=True)
+    nonblock = np.asarray(SE.embed_utterances(params, wavs, cfg,
+                                              device=True, block=False))
+    assert nonblock.shape == (2, 256)
+    for b, nb in zip(blocking, nonblock):
+        np.testing.assert_allclose(nb, b, rtol=1e-5, atol=1e-6)
