@@ -127,8 +127,12 @@ def _fwd_kernel(xin_hbm,            # (NB, TB, Bp, 6H) f32: xp1 ‖ base2
             xp2 = base2 + dot(h1, wih2x)
             h2, a2 = _gru_fwd_math(xp2, dot(h2, whh2) + bhh2[0][None, :],
                                    h2, H)
-            hbuf[slot, i] = jnp.concatenate([h1, h2], axis=-1)
-            abuf[slot, i] = jnp.concatenate(a1 + a2, axis=-1).astype(cdt)
+            # sliced stores, not lane-concats: each concat materialises a
+            # full-width copy on the VPU every round
+            hbuf[slot, i, :, :H] = h1
+            hbuf[slot, i, :, H:] = h2
+            for k, part in enumerate(a1 + a2):
+                abuf[slot, i, :, k * H:(k + 1) * H] = part.astype(cdt)
             return (h1, h2)
 
         carry = jax.lax.fori_loop(0, TB, step, carry)
@@ -267,12 +271,16 @@ def _bwd_kernel(ain_hbm,            # (NB, TB, Bp, 8H) cdt: saved gate acts
             dz1 = dh1 * (h1_p - n1)
             da_z1 = dz1 * z1 * (1.0 - z1)
             da_r1 = da_n1 * hn1 * r1 * (1.0 - r1)
-            dxp1 = jnp.concatenate([da_r1, da_z1, da_n1], axis=-1)
             dhp1 = jnp.concatenate([da_r1, da_z1, da_n1 * r1], axis=-1)
             dh1_next = dh1 * z1 + dot(dhp1, whh1T)
 
-            obuf[slot, i] = jnp.concatenate([dxp1, dxp2], axis=-1)
-            dpbuf[i] = jnp.concatenate([dhp1, dhp2], axis=-1)
+            # sliced stores (concats that only feed buffers are copies)
+            obuf[slot, i, :, :H] = da_r1
+            obuf[slot, i, :, H:2 * H] = da_z1
+            obuf[slot, i, :, 2 * H:3 * H] = da_n1
+            obuf[slot, i, :, 3 * H:] = dxp2
+            dpbuf[i, :, :3 * H] = dhp1
+            dpbuf[i, :, 3 * H:] = dhp2
             return (dh1_next, dh2_next)
 
         carry = jax.lax.fori_loop(0, TB, step, carry)

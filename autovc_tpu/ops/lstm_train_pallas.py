@@ -116,9 +116,18 @@ def _fwd_kernel(xin_hbm,            # (NB, TB, Bp, 4H) f32: layer-0 xp
                 # freeze state on padded tail steps (see module docstring)
                 new_h.append(jnp.where(live, h, hs[l]))
                 new_c.append(jnp.where(live, c, cs[l]))
-                acts.append(jnp.concatenate([i_, f_, g_, o_], axis=-1))
-            hbuf[slot, i] = jnp.concatenate(new_h + new_c, axis=-1)
-            abuf[slot, i] = jnp.concatenate(acts, axis=-1).astype(cdt)
+                acts.append((i_, f_, o_, g_))
+            # sliced stores, not lane-concats (a concat that only feeds a
+            # buffer is a full-width VPU copy every round)
+            for l in range(L):
+                hbuf[slot, i, :, l * H:(l + 1) * H] = new_h[l]
+                hbuf[slot, i, :, (L + l) * H:(L + l + 1) * H] = new_c[l]
+                i_, f_, o_, g_ = acts[l]
+                base = l * 4 * H
+                abuf[slot, i, :, base:base + H] = i_.astype(cdt)
+                abuf[slot, i, :, base + H:base + 2 * H] = f_.astype(cdt)
+                abuf[slot, i, :, base + 2 * H:base + 3 * H] = g_.astype(cdt)
+                abuf[slot, i, :, base + 3 * H:base + 4 * H] = o_.astype(cdt)
             return (tuple(new_h), tuple(new_c))
 
         carry = jax.lax.fori_loop(0, TB, step, carry)
@@ -259,7 +268,8 @@ def _bwd_kernel(ain_hbm,            # (NB, TB, Bp, L*4H) cdt
                 dh_below = (dot(da, wihT_ref[l - 1]) if l > 0 else None)
 
             obuf[slot, i] = das[0]
-            dabuf[i] = jnp.concatenate(das, axis=-1)
+            for l in range(L):     # sliced stores (buffer-only concats)
+                dabuf[i, :, l * 4 * H:(l + 1) * 4 * H] = das[l]
             return (tuple(new_dh), tuple(new_dc))
 
         carry = jax.lax.fori_loop(0, TB, step, carry)

@@ -64,7 +64,8 @@ def main():
     rng = np.random.default_rng(0)
     f = lambda *s: jax.device_put(
         (0.4 * rng.standard_normal(s)).astype(np.float32))
-    args = (f(B, T, 3 * H), f(B, T, 3 * H), f(H, 3 * H), f(H, 3 * H),
+    # TIME-MAJOR since the r5 layout change
+    args = (f(T, B, 3 * H), f(T, B, 3 * H), f(H, 3 * H), f(H, 3 * H),
             f(3 * H), f(H, 3 * H), f(3 * H))
     results = {}
 
