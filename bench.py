@@ -180,11 +180,40 @@ def main():
     mel_probe = dev_mel.mel_spec_auto_encoder(wav_dev, ae_cfg.spectrogram)
     fl, by = RL.melspec_cost(mel_probe.shape[-1], ae_cfg.spectrogram.n_fft,
                              ae_cfg.spectrogram.n_mels)
-    mel_dt, mel_entry, mel_out = _timed_entry(
-        lambda i: dev_mel.mel_spec_auto_encoder(wav_dev, ae_cfg.spectrogram),
-        lambda dt: RL.account("mel_frontend(xla)", fl, by, dt, spec),
-        max_k=512, budget_s=1.0, repeats=5)
+
+    # ON-DEVICE timing loop (r4 weak #6: a ~0.2 ms kernel measured 0.15-
+    # 0.24 ms through the 24 ms tunnel even at repeats=5 — the dispatch
+    # window was ~40 calls = ~8 ms of work vs multi-ms RTT jitter).  Here
+    # the kernel runs `iters` times INSIDE one program with a threaded
+    # data dependency, so one blocked call carries ~100 ms of pure device
+    # work and (t_iters - t_1)/(iters-1) cancels the round-trip exactly.
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames=("cfg", "iters"))
+    def _mel_chain(w, cfg, iters):
+        def body(_, carry):
+            w_, acc = carry
+            m = dev_mel.mel_spec_auto_encoder(w_, cfg)
+            # data dependency defeats CSE/hoisting; value unchanged
+            return (w_ + m[0, 0] * 0.0, acc + m[0, 0])
+        return jax.lax.fori_loop(0, iters, body, (w, 0.0))[1]
+
+    MEL_ITERS = 512
+    _sync(_mel_chain(wav_dev, ae_cfg.spectrogram, 1))          # compile
+    _sync(_mel_chain(wav_dev, ae_cfg.spectrogram, MEL_ITERS))
+    mel_dts = []
+    for _ in range(3):
+        t0 = time.time()
+        _sync(_mel_chain(wav_dev, ae_cfg.spectrogram, 1))
+        t1 = time.time() - t0
+        t0 = time.time()
+        _sync(_mel_chain(wav_dev, ae_cfg.spectrogram, MEL_ITERS))
+        tK = time.time() - t0
+        mel_dts.append((tK - t1) / (MEL_ITERS - 1))
+    mel_dt = sorted(mel_dts)[1]
+    mel_entry = RL.account("mel_frontend(xla)", fl, by, mel_dt, spec)
     entries.append(mel_entry)
+    mel_out = mel_probe
 
     # ---- component: AE conversion forward -------------------------------
     fl, by = RL.ae_forward_cost(ae_cfg, M, N)
