@@ -154,9 +154,16 @@ def decoder(params: Params, x: jnp.ndarray, train: bool = False,
     """(B, T, 2*neck+emb) -> (B, T, n_mels).  Returns (mel, new_params)."""
     fast = (_fast_recurrence(train, axis_name, x.shape[0])
             if fast_kernels is None else fast_kernels)
-    # lstm1 (512): ~2 MB bf16 resident weights — not streaming-bound, the
-    # unrolled scan wins (r4 measurement); only LSTM2 uses the kernel.
-    h, _, _ = R.lstm_stack(params["lstm1"], x)
+    if (train and fast_kernels is None and axis_name is None
+            and _stream_ok(params["lstm1"][0]["w_hh"].shape[0])):
+        # training: the L=1 train kernel's backward beats the scan's
+        # custom VJP (0.91 vs 1.30 ms grad at 16x400, r5 measurement)
+        from autovc_tpu.ops import lstm_train_pallas as LT
+        h, _ = LT.lstm_stack_train(params["lstm1"], x)
+    else:
+        # inference lstm1 (512): ~2 MB bf16 resident weights — not
+        # streaming-bound, the unrolled scan wins (r4 measurement)
+        h, _, _ = R.lstm_stack(params["lstm1"], x)
     h = jnp.swapaxes(h, 1, 2)
     new_convs = []
     for p in params["convs"]:

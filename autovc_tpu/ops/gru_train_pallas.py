@@ -61,9 +61,15 @@ def _round_up(x: int, m: int) -> int:
 
 def _pick_tb(per_step_bytes: int, T: int) -> int:
     """Steps per DMA block: bounded by the stream VMEM budget (a fixed
-    32-step block OOMed VMEM at batch 64) and the cap; >=8."""
-    tb = (_STREAM_BUDGET // (2 * per_step_bytes)) // 8 * 8
-    return max(8, min(_TB_CAP, tb, _round_up(T, 8)))
+    32-step block OOMed VMEM at batch 64) and the cap; >=8.  Prefers a
+    divisor of T (T=1375 -> 25): a non-dividing block forces Tp > T and
+    jnp.pad then COPIES every 100+ MB step stream just to add the tail
+    rows."""
+    cap = min(_TB_CAP, max(8, _STREAM_BUDGET // (2 * per_step_bytes)))
+    for tb in range(cap, 7, -1):
+        if T % tb == 0:
+            return tb
+    return max(8, min(cap // 8 * 8 or 8, _round_up(T, 8)))
 
 
 def _gru_fwd_math(xp, hp, h, H):

@@ -47,10 +47,16 @@ def _pick_tb(dbl_per_step: int, sgl_per_step: int, fixed_bytes: int,
     """Steps per DMA block, from the whole VMEM budget: double-buffered
     streams count twice, block-local scratch once, and the RESIDENT bytes
     (weights + in-VMEM dW accumulators — 75 MB for the 2x1024 AE stack,
-    which OOMed a fixed-budget picker) come off the top."""
+    which OOMed a fixed-budget picker) come off the top.  Prefers a
+    divisor of T: a non-dividing block forces Tp > T and jnp.pad then
+    copies every step stream just to add the tail rows."""
     budget = max(8 << 20, _VMEM_BUDGET - fixed_bytes)
-    tb = (budget // (2 * dbl_per_step + max(1, sgl_per_step))) // 8 * 8
-    return max(8, min(_TB_CAP, tb, _round_up(T, 8)))
+    cap = min(_TB_CAP,
+              max(8, budget // (2 * dbl_per_step + max(1, sgl_per_step))))
+    for tb in range(cap, 7, -1):
+        if T % tb == 0:
+            return tb
+    return max(8, min(cap // 8 * 8 or 8, _round_up(T, 8)))
 
 
 # ---------------------------------------------------------------------------
