@@ -84,16 +84,21 @@ def _gru_fwd_math(xp, hp, h, H):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(xin_hbm,            # (NB, TB, Bp, 6H) f32: xp1 ‖ base2
+def _fwd_kernel(x1_hbm,             # (NB, TB, Bp, 3H) f32: xp1
+                x2_hbm,             # (NB, TB, Bp, 3H) f32: base2
                 whh1, wih2x, whh2,  # (H, 3H) cdt, VMEM
                 bhh1, bhh2,         # (1, 3H) f32
                 hout_hbm,           # (NB, TB, Bp, 2H) f32: h1 ‖ h2
                 aout_hbm,           # (NB, TB, Bp, 8H) cdt: gate acts
-                xbuf, xsem, hbuf, hsem, abuf, asem,
+                x1buf, x1sem, x2buf, x2sem, hbuf, hsem, abuf, asem,
                 *, NB, TB, Bp, H, cdt):
+    # two separate input streams: concatenating xp1 ‖ base2 on the host
+    # copied 270 MB per step-stream per call (measured ~0.7 ms/step)
     def xdma(slot, b):
-        return pltpu.make_async_copy(xin_hbm.at[b], xbuf.at[slot],
-                                     xsem.at[slot])
+        return (pltpu.make_async_copy(x1_hbm.at[b], x1buf.at[slot],
+                                      x1sem.at[slot]),
+                pltpu.make_async_copy(x2_hbm.at[b], x2buf.at[slot],
+                                      x2sem.at[slot]))
 
     def hdma(slot, b):
         return pltpu.make_async_copy(hbuf.at[slot], hout_hbm.at[b],
@@ -107,16 +112,19 @@ def _fwd_kernel(xin_hbm,            # (NB, TB, Bp, 6H) f32: xp1 ‖ base2
         return jnp.dot(a.astype(cdt), w[...],
                        preferred_element_type=jnp.float32)
 
-    xdma(0, 0).start()
+    for d in xdma(0, 0):
+        d.start()
 
     def block(b, carry):
         slot = jax.lax.rem(b, 2)
 
         @pl.when(b + 1 < NB)
         def _():
-            xdma(jax.lax.rem(b + 1, 2), b + 1).start()
+            for d in xdma(jax.lax.rem(b + 1, 2), b + 1):
+                d.start()
 
-        xdma(slot, b).wait()
+        for d in xdma(slot, b):
+            d.wait()
 
         @pl.when(b >= 2)
         def _():
@@ -125,9 +133,8 @@ def _fwd_kernel(xin_hbm,            # (NB, TB, Bp, 6H) f32: xp1 ‖ base2
 
         def step(i, carry):
             h1, h2 = carry
-            row = xbuf[slot, i]                        # (Bp, 6H) f32
-            xp1 = row[:, :3 * H]
-            base2 = row[:, 3 * H:]
+            xp1 = x1buf[slot, i]                       # (Bp, 3H) f32
+            base2 = x2buf[slot, i]
             h1, a1 = _gru_fwd_math(xp1, dot(h1, whh1) + bhh1[0][None, :],
                                    h1, H)
             xp2 = base2 + dot(h1, wih2x)
@@ -164,12 +171,13 @@ def _fwd_kernel(xin_hbm,            # (NB, TB, Bp, 6H) f32: xp1 ‖ base2
 
 def _bwd_kernel(ain_hbm,            # (NB, TB, Bp, 8H) cdt: saved gate acts
                 hs_hbm,             # (NB, TB, Bp, 2H) f32: h1 ‖ h2
-                dh_hbm,             # (NB, TB, Bp, 2H) f32: dh1s ‖ dh2s
+                d1_hbm, d2_hbm,     # (NB, TB, Bp, H) f32: dh1s / dh2s
                 whh1T, wih2xT, whh2T,       # (3H, H) cdt
-                dx_hbm,             # (NB, TB, Bp, 6H) f32: dxp1 ‖ dbase2
+                o1_hbm, o2_hbm,     # (NB, TB, Bp, 3H) f32: dxp1 / dbase2
                 dwhh1_ref, dwih2x_ref, dwhh2_ref,   # (H, 3H) f32 out
                 dbhh1_ref, dbhh2_ref,               # (1, 3H) f32 out
-                abuf, asem, hbuf, hsem, dbuf, dsem, obuf, osem, dpbuf,
+                abuf, asem, hbuf, hsem, d1buf, d1sem, d2buf, d2sem,
+                o1buf, o1sem, o2buf, o2sem, dpbuf,
                 hpbuf, pbuf, psem,
                 *, NB, TB, Bp, H, cdt):
     def in_dmas(slot, b):
@@ -177,8 +185,10 @@ def _bwd_kernel(ain_hbm,            # (NB, TB, Bp, 8H) cdt: saved gate acts
                                       asem.at[slot]),
                 pltpu.make_async_copy(hs_hbm.at[b], hbuf.at[slot],
                                       hsem.at[slot]),
-                pltpu.make_async_copy(dh_hbm.at[b], dbuf.at[slot],
-                                      dsem.at[slot]))
+                pltpu.make_async_copy(d1_hbm.at[b], d1buf.at[slot],
+                                      d1sem.at[slot]),
+                pltpu.make_async_copy(d2_hbm.at[b], d2buf.at[slot],
+                                      d2sem.at[slot]))
 
     def pdma(slot, b):
         # the one cross-block row: h_{t-1} for the block's first step is
@@ -188,8 +198,10 @@ def _bwd_kernel(ain_hbm,            # (NB, TB, Bp, 8H) cdt: saved gate acts
                                      pbuf.at[slot], psem.at[slot])
 
     def odma(slot, b):
-        return pltpu.make_async_copy(obuf.at[slot], dx_hbm.at[b],
-                                     osem.at[slot])
+        return (pltpu.make_async_copy(o1buf.at[slot], o1_hbm.at[b],
+                                      o1sem.at[slot]),
+                pltpu.make_async_copy(o2buf.at[slot], o2_hbm.at[b],
+                                      o2sem.at[slot]))
 
     def dot(a, w):
         return jnp.dot(a.astype(cdt), w[...],
@@ -243,7 +255,8 @@ def _bwd_kernel(ain_hbm,            # (NB, TB, Bp, 8H) cdt: saved gate acts
 
         @pl.when(bb >= 2)
         def _():
-            odma(slot, NB - 1 - (bb - 2)).wait()
+            for d in odma(slot, NB - 1 - (bb - 2)):
+                d.wait()
 
         def step(ii, carry):
             i = TB - 1 - ii                # steps in reverse
@@ -257,10 +270,9 @@ def _bwd_kernel(ain_hbm,            # (NB, TB, Bp, 8H) cdt: saved gate acts
                            prev_row)
             hpbuf[i] = hp                  # kept for the block dW pass
             h1_p, h2_p = hp[:, :H], hp[:, H:]
-            dhs = dbuf[slot, i]
 
             # ---- layer 2 backward ----
-            dh2 = dhs[:, H:] + dh2_rec
+            dh2 = d2buf[slot, i] + dh2_rec
             dn2 = dh2 * (1.0 - z2)
             da_n2 = dn2 * (1.0 - n2 * n2)
             dz2 = dh2 * (h2_p - n2)
@@ -271,7 +283,7 @@ def _bwd_kernel(ain_hbm,            # (NB, TB, Bp, 8H) cdt: saved gate acts
             dh2_next = dh2 * z2 + dot(dhp2, whh2T)
 
             # ---- layer 1 backward (h1 feeds layer 2's projection) ----
-            dh1 = dhs[:, :H] + dh1_rec + dot(dxp2, wih2xT)
+            dh1 = d1buf[slot, i] + dh1_rec + dot(dxp2, wih2xT)
             dn1 = dh1 * (1.0 - z1)
             da_n1 = dn1 * (1.0 - n1 * n1)
             dz1 = dh1 * (h1_p - n1)
@@ -281,10 +293,10 @@ def _bwd_kernel(ain_hbm,            # (NB, TB, Bp, 8H) cdt: saved gate acts
             dh1_next = dh1 * z1 + dot(dhp1, whh1T)
 
             # sliced stores (concats that only feed buffers are copies)
-            obuf[slot, i, :, :H] = da_r1
-            obuf[slot, i, :, H:2 * H] = da_z1
-            obuf[slot, i, :, 2 * H:3 * H] = da_n1
-            obuf[slot, i, :, 3 * H:] = dxp2
+            o1buf[slot, i, :, :H] = da_r1
+            o1buf[slot, i, :, H:2 * H] = da_z1
+            o1buf[slot, i, :, 2 * H:] = da_n1
+            o2buf[slot, i] = dxp2
             dpbuf[i, :, :3 * H] = dhp1
             dpbuf[i, :, 3 * H:] = dhp2
             return (dh1_next, dh2_next)
@@ -294,22 +306,24 @@ def _bwd_kernel(ain_hbm,            # (NB, TB, Bp, 8H) cdt: saved gate acts
         # ---- per-block weight/bias gradient accumulation ----
         dwhh1_ref[...] += block_dw(hpbuf[:, :, :H], dpbuf[:, :, :3 * H])
         dwhh2_ref[...] += block_dw(hpbuf[:, :, H:], dpbuf[:, :, 3 * H:])
-        dwih2x_ref[...] += block_dw(hbuf[slot][:, :, :H],
-                                    obuf[slot][:, :, 3 * H:])
+        dwih2x_ref[...] += block_dw(hbuf[slot][:, :, :H], o2buf[slot])
         dbhh1_ref[...] += jnp.sum(dpbuf[:, :, :3 * H],
                                   axis=(0, 1))[None, :]
         dbhh2_ref[...] += jnp.sum(dpbuf[:, :, 3 * H:],
                                   axis=(0, 1))[None, :]
 
-        odma(slot, b).start()
+        for d in odma(slot, b):
+            d.start()
         return carry
 
     zero = jnp.zeros((Bp, H), jnp.float32)
     jax.lax.fori_loop(0, NB, block, (zero, zero))
     @pl.when(NB >= 2)
     def _():
-        odma(jax.lax.rem(NB, 2), 1).wait()
-    odma(jax.lax.rem(NB - 1, 2), 0).wait()
+        for d in odma(jax.lax.rem(NB, 2), 1):
+            d.wait()
+    for d in odma(jax.lax.rem(NB - 1, 2), 0):
+        d.wait()
 
 
 # ---------------------------------------------------------------------------
@@ -333,8 +347,10 @@ def _fwd_call(xp1, base2, wih2x, whh1, bhh1, whh2, bhh2, interpret):
     TB = _pick_tb((6 * H + 2 * H) * Bp * 4 + 8 * H * Bp * cb, T)
     Tp = _round_up(T, TB)
     NB = Tp // TB
-    xin = jnp.concatenate([_pad_tbd(xp1, Bp, Tp), _pad_tbd(base2, Bp, Tp)],
-                          axis=-1).reshape(NB, TB, Bp, 6 * H)
+    # two streams, no host-side concat: with a divisor block size and
+    # aligned rows these reshapes are pure views
+    x1 = _pad_tbd(xp1, Bp, Tp).reshape(NB, TB, Bp, 3 * H)
+    x2 = _pad_tbd(base2, Bp, Tp).reshape(NB, TB, Bp, 3 * H)
     kern = functools.partial(_fwd_kernel, NB=NB, TB=TB, Bp=Bp, H=H, cdt=cdt)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
@@ -344,10 +360,12 @@ def _fwd_call(xp1, base2, wih2x, whh1, bhh1, whh2, bhh2, interpret):
             jax.ShapeDtypeStruct((NB, TB, Bp, 2 * H), jnp.float32),
             jax.ShapeDtypeStruct((NB, TB, Bp, 8 * H), cdt),
         ),
-        in_specs=[any_] + [vmem] * 5,
+        in_specs=[any_, any_] + [vmem] * 5,
         out_specs=(any_, any_),
         scratch_shapes=[
-            pltpu.VMEM((2, TB, Bp, 6 * H), jnp.float32),
+            pltpu.VMEM((2, TB, Bp, 3 * H), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, TB, Bp, 3 * H), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, TB, Bp, 2 * H), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -357,7 +375,7 @@ def _fwd_call(xp1, base2, wih2x, whh1, bhh1, whh2, bhh2, interpret):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(xin, whh1.astype(cdt), wih2x.astype(cdt), whh2.astype(cdt),
+    )(x1, x2, whh1.astype(cdt), wih2x.astype(cdt), whh2.astype(cdt),
       bhh1[None, :].astype(jnp.float32), bhh2[None, :].astype(jnp.float32))
     hs = hout.reshape(Tp, Bp, 2 * H)
     h1s = hs[:T, :B, :H]                               # (T, B, H)
@@ -401,8 +419,9 @@ def _gru_pair_bwd(interpret, res, cts):
         aout, hs = jnp.pad(aout, pad), jnp.pad(hs, pad)
     ain = aout.reshape(NB, TB, Bp, 8 * H)
     hsb = hs.reshape(NB, TB, Bp, 2 * H)
-    dh = jnp.concatenate([_pad_tbd(dh1s, Bp, Tp), _pad_tbd(dh2s, Bp, Tp)],
-                         axis=-1).reshape(NB, TB, Bp, 2 * H)
+    # split streams, no host-side concat (pure views at serving geometry)
+    d1 = _pad_tbd(dh1s, Bp, Tp).reshape(NB, TB, Bp, H)
+    d2 = _pad_tbd(dh2s, Bp, Tp).reshape(NB, TB, Bp, H)
 
     kern = functools.partial(_bwd_kernel, NB=NB, TB=TB, Bp=Bp, H=H, cdt=cdt)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -410,23 +429,28 @@ def _gru_pair_bwd(interpret, res, cts):
     outs = pl.pallas_call(
         kern,
         out_shape=(
-            jax.ShapeDtypeStruct((NB, TB, Bp, 6 * H), jnp.float32),
+            jax.ShapeDtypeStruct((NB, TB, Bp, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((NB, TB, Bp, 3 * H), jnp.float32),
             jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
             jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
             jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
             jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),
             jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),
         ),
-        in_specs=[any_, any_, any_] + [vmem] * 3,
-        out_specs=(any_, vmem, vmem, vmem, vmem, vmem),
+        in_specs=[any_, any_, any_, any_] + [vmem] * 3,
+        out_specs=(any_, any_, vmem, vmem, vmem, vmem, vmem),
         scratch_shapes=[
             pltpu.VMEM((2, TB, Bp, 8 * H), cdt),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, TB, Bp, 2 * H), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((2, TB, Bp, 2 * H), jnp.float32),
+            pltpu.VMEM((2, TB, Bp, H), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((2, TB, Bp, 6 * H), jnp.float32),
+            pltpu.VMEM((2, TB, Bp, H), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, TB, Bp, 3 * H), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, TB, Bp, 3 * H), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((TB, Bp, 6 * H), jnp.float32),
             pltpu.VMEM((TB, Bp, 2 * H), jnp.float32),
@@ -436,14 +460,13 @@ def _gru_pair_bwd(interpret, res, cts):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(ain, hsb, dh,
+    )(ain, hsb, d1, d2,
       jnp.swapaxes(whh1.astype(cdt), 0, 1),
       jnp.swapaxes(wih2x.astype(cdt), 0, 1),
       jnp.swapaxes(whh2.astype(cdt), 0, 1))
-    dx, dwhh1, dwih2x, dwhh2, dbhh1, dbhh2 = outs
-    dx = dx.reshape(Tp, Bp, 6 * H)[:T, :B]
-    dxp1 = dx[..., :3 * H]
-    dbase2 = dx[..., 3 * H:]
+    o1, o2, dwhh1, dwih2x, dwhh2, dbhh1, dbhh2 = outs
+    dxp1 = o1.reshape(Tp, Bp, 3 * H)[:T, :B]
+    dbase2 = o2.reshape(Tp, Bp, 3 * H)[:T, :B]
     return (dxp1, dbase2, dwih2x, dwhh1, dbhh1[0], dwhh2, dbhh2[0])
 
 
