@@ -30,7 +30,10 @@ import numpy as np
 
 SAMPLES = os.environ.get("AUTOVC_BENCH_SAMPLES",
                          "/root/reference/data/samples")
-N_RUNS = int(os.environ.get("AUTOVC_BENCH_RUNS", "3"))
+# 5 sustained windows: the median headline needs >=3 CLEAN windows to
+# survive the tunnel's multi-second congestion episodes (a recorded r5 run
+# caught two degraded windows out of 3: [626, 361, 400] audio-s/s)
+N_RUNS = int(os.environ.get("AUTOVC_BENCH_RUNS", "5"))
 
 
 def _setup_cache():
@@ -614,7 +617,11 @@ def main():
 
     # ---- per-stage attribution (VERDICT r4 #2): one instrumented run with
     # explicit syncs between stages.  The quoted throughput comes from the
-    # UN-instrumented pipelined loop below; this run locates the cost.
+    # UN-instrumented pipelined loop below; this run LOCATES cost, it does
+    # not time it precisely — the forced per-stage syncs serialize
+    # transfers the pipelined path overlaps, and a clean-process probe of
+    # the same stages measures ~2-3x lower device-stage walls (recorded in
+    # the r5 session notes); relative ordering is what to read here.
     st = {}
     t0 = time.time()
     with ThreadPoolExecutor(max_workers=8) as ex:
