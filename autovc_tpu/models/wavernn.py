@@ -239,10 +239,16 @@ def forward(params: Params, x: jnp.ndarray, mels: jnp.ndarray,
                             params["rnn2"]["w_hh"], params["rnn2"]["b_hh"])
         x1 = h + xI
         x2 = h2 + x1
-        x3 = jax.nn.relu(C.linear(params["fc1"],
-                                  jnp.concatenate([x2, a3t], axis=-1)))
-        x4 = jax.nn.relu(C.linear(params["fc2"],
-                                  jnp.concatenate([x3, a4t], axis=-1)))
+        # split matmuls instead of concat([big, aux]) @ W: the concat
+        # copies a ~95 MB sample-rate tensor per fc layer per step
+        wf1, wf2 = params["fc1"]["w"], params["fc2"]["w"]
+        fcd = cfg.fc_dims
+        x3 = jax.nn.relu(PREC.dot(x2, wf1[:, :rd].T)
+                         + PREC.dot(a3t, wf1[:, rd:].T)
+                         + params["fc1"]["b"])
+        x4 = jax.nn.relu(PREC.dot(x3, wf2[:, :fcd].T)
+                         + PREC.dot(a4t, wf2[:, fcd:].T)
+                         + params["fc2"]["b"])
         logits = jnp.swapaxes(C.linear(params["fc3"], x4), 0, 1)
         return logits, dict(params, upsample=up_new)
     xI = C.linear(params["I"], inp)

@@ -63,6 +63,45 @@ def test_gru_pair_grads_match_scan(B, T, H):
                                    rtol=2e-4, atol=2e-4, err_msg=n)
 
 
+def test_wavernn_forward_kernel_branch_matches_scan(monkeypatch):
+    """The whole kernel-branch forward in models.wavernn (time-major
+    projections, base2 split, residual chain, split fc matmuls) must match
+    the scan branch — values AND loss gradients."""
+    import functools
+
+    from autovc_tpu.config import WaveRNNConfig
+    from autovc_tpu.models import wavernn as WR
+    from autovc_tpu.ops import gru_train_pallas as GP
+
+    cfg = WaveRNNConfig().with_overrides(
+        res_blocks=2, rnn_dims=16, fc_dims=16, compute_dims=8,
+        res_out_dims=16)
+    params = WR.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    B, F = 2, 8
+    T = (F - 2 * cfg.pad) * cfg.total_scale
+    mels = jnp.asarray(rng.random((B, 80, F)), jnp.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (B, T)), jnp.float32)
+    y = jnp.roll(x, -1, 1)
+
+    monkeypatch.setattr(GP, "gru_pair",
+                        functools.partial(GP.gru_pair, interpret=True))
+    l_scan, _ = WR.loss(params, x, y, mels, cfg, train=False,
+                        fast_kernels=False)
+    l_kern, _ = WR.loss(params, x, y, mels, cfg, train=False,
+                        fast_kernels=True)
+    np.testing.assert_allclose(float(l_kern), float(l_scan), rtol=1e-5)
+
+    g_scan = jax.grad(lambda p: WR.loss(p, x, y, mels, cfg, train=False,
+                                        fast_kernels=False)[0])(params)
+    g_kern = jax.grad(lambda p: WR.loss(p, x, y, mels, cfg, train=False,
+                                        fast_kernels=True)[0])(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_kern),
+                    jax.tree_util.tree_leaves(g_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+
+
 def test_gru_pair_pad_rows_and_steps():
     """B and T far from the kernel's 8/block alignments: padded rows and
     padded tail steps must not leak into values or grads."""

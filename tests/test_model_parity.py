@@ -540,3 +540,41 @@ def test_embed_utterances_nonblocking_device_matches_blocking():
     assert nonblock.shape == (2, 256)
     for b, nb in zip(blocking, nonblock):
         np.testing.assert_allclose(nb, b, rtol=1e-5, atol=1e-6)
+
+
+def test_pick_slab_cost_model():
+    """Cost-based slab selection (r5): picks by measured total wall cost
+    ceil(rows/s)*cost(s), not the smallest ladder entry >= rows."""
+    from autovc_tpu.models.autoencoder import _SLAB_LADDER, _SLAB_MS, \
+        _pick_slab
+    for rows in (1, 7, 8, 17, 48, 136, 250, 1000):
+        best = min(_SLAB_LADDER,
+                   key=lambda s: (-(-rows // s) * _SLAB_MS[s], -s))
+        assert _pick_slab(rows) == best
+    # the r4 regression case: 136 rows must NOT run one half-empty
+    # 256-row pass
+    assert _pick_slab(136) != 256
+
+
+def test_mel_sliced_pcm16_parity():
+    """PCM16 upload path: chunks match the f32 path within the int16
+    quantisation bound."""
+    from autovc_tpu.ops import melspec as dev_mel
+    rng = np.random.default_rng(7)
+    wav = rng.uniform(-0.8, 0.8, 44100).astype(np.float32)
+    a, _ = dev_mel.mel_spec_auto_encoder_sliced(wav)
+    b, _ = dev_mel.mel_spec_auto_encoder_sliced(wav, pcm16=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=0, atol=2e-3)
+
+
+def test_stream_block_divisor_preference():
+    """Stream blocks prefer divisors of T (a non-dividing block pads —
+    and jnp.pad copies the whole 100+ MB stream)."""
+    from autovc_tpu.ops.gru_train_pallas import _pick_tb as gru_tb
+    from autovc_tpu.ops.lstm_train_pallas import _pick_tb as lstm_tb
+    assert gru_tb(1024, 1375) == 25          # 1375 = 5^3 * 11
+    assert gru_tb(1024, 1376) == 32
+    assert gru_tb(1024, 160) == 32
+    assert lstm_tb(1024, 0, 0, 1375) == 25
+    assert lstm_tb(1024, 0, 0, 400) == 25    # 400 % 25 == 0
