@@ -465,12 +465,44 @@ _SLAB_MS = {8: 4.55, 16: 4.90, 32: 7.07, 64: 12.57, 128: 19.94, 256: 40.05}
 
 
 def _pick_slab(rows: int) -> int:
-    """Slab size minimising the measured total wall cost ceil(rows/s) *
-    cost(s); ties break to the larger slab (fewer dispatches).  (The r4
-    picker took the smallest ladder entry >= rows — a 136-row serve then
-    ran one half-empty 256-row pass, ~13%% slower than the model's pick.)"""
+    """UNIFORM slab size minimising the measured total wall cost
+    ceil(rows/s) * cost(s); ties break to the larger slab (fewer
+    dispatches).  (The r4 picker took the smallest ladder entry >= rows —
+    a 136-row serve then ran one half-empty 256-row pass, ~13%% slower
+    than the model's pick.)  The packed serving path uses the MIXED plan
+    (:func:`_slab_plan`) instead, which beats any uniform size on
+    off-ladder row counts."""
     return min(_SLAB_LADDER,
                key=lambda s: (-(-rows // s) * _SLAB_MS[s], -s))
+
+
+@functools.lru_cache(maxsize=512)
+def _slab_plan(rows: int) -> tuple:
+    """Measured-cost-minimal MULTISET of slab sizes covering >= ``rows``
+    (descending): coin-change DP over the ladder with the r5 cost table.
+    136 rows -> (128, 8) at 24.5 ms where the best uniform choice (5 x 32)
+    costs 35.4 — every slab size still maps to one cached compile."""
+    if rows <= 0:
+        return (_SLAB_LADDER[0],)
+    # DP over 8-row quanta for the WHOLE row count (a greedy biggest-slab
+    # prefix is suboptimal: 8 x 128 beats 3 x 256 + 2 x 128 for 1000 rows
+    # — the 128-slab has the best measured per-row cost)
+    q = -(-rows // 8)
+    INF = float("inf")
+    best = [0.0] + [INF] * q
+    choice = [0] * (q + 1)
+    for n in range(1, q + 1):
+        for s in _SLAB_LADDER:
+            prev = max(0, n - s // 8)
+            c = best[prev] + _SLAB_MS[s]
+            if c < best[n]:
+                best[n], choice[n] = c, s
+    plan, n = [], q
+    while n > 0:
+        s = choice[n]
+        plan.append(s)
+        n = max(0, n - s // 8)
+    return tuple(sorted(plan, reverse=True))
 
 
 def batch_forward_packed(params: Params, chunk_sets, c_orgs, c_trg,
@@ -503,10 +535,12 @@ def batch_forward_packed(params: Params, chunk_sets, c_orgs, c_trg,
     n_mels, N = chunk_sets[0].shape[1:]
     counts = [int(ch.shape[0]) for ch in chunk_sets]
     if slab_rows is None:
-        slab_rows = _pick_slab(sum(counts))
-    if not (0 < slab_rows and slab_rows % 8 == 0):
-        raise ValueError(f"slab_rows must be a positive multiple of 8, "
-                         f"got {slab_rows}")
+        plan = _slab_plan(sum(counts))
+    else:
+        if not (0 < slab_rows and slab_rows % 8 == 0):
+            raise ValueError(f"slab_rows must be a positive multiple of 8, "
+                             f"got {slab_rows}")
+        plan = (slab_rows,) * max(1, -(-sum(counts) // slab_rows))
     step = int(N * (1 - overlap))
     lengths = [N + (m - 1) * step for m in counts]
     starts, o = [], gap
@@ -517,7 +551,7 @@ def batch_forward_packed(params: Params, chunk_sets, c_orgs, c_trg,
     Fp_b = _round_up(Fp, frame_bucket)
 
     rows = sum(counts)
-    R_b = _round_up(rows, slab_rows)
+    R_b = sum(plan)
     stacked = jnp.concatenate(list(chunk_sets), axis=0)
     if R_b != rows:
         stacked = jnp.pad(stacked, ((0, R_b - rows), (0, 0), (0, 0)))
@@ -544,12 +578,13 @@ def batch_forward_packed(params: Params, chunk_sets, c_orgs, c_trg,
             r += m
         c_rows = jnp.asarray(c_np)
 
-    c_trgs = jnp.broadcast_to(jnp.asarray(c_trg).reshape(1, -1),
-                              (slab_rows, E))
-    mel_rows = [convert_slab(params, stacked[s:s + slab_rows],
-                             c_rows[s:s + slab_rows], c_trgs,
-                             cfg, precision)
-                for s in range(0, R_b, slab_rows)]
+    c_trg_row = jnp.asarray(c_trg).reshape(1, -1)
+    mel_rows, s = [], 0
+    for sz in plan:               # mixed-size slabs (see _slab_plan)
+        mel_rows.append(convert_slab(
+            params, stacked[s:s + sz], c_rows[s:s + sz],
+            jnp.broadcast_to(c_trg_row, (sz, E)), cfg, precision))
+        s += sz
     mel_rows = mel_rows[0] if len(mel_rows) == 1 \
         else jnp.concatenate(mel_rows, axis=0)
     packed = merge_rows(mel_rows, jnp.asarray(offsets), Fp_b)

@@ -578,3 +578,20 @@ def test_stream_block_divisor_preference():
     assert gru_tb(1024, 160) == 32
     assert lstm_tb(1024, 0, 0, 1375) == 25
     assert lstm_tb(1024, 0, 0, 400) == 25    # 400 % 25 == 0
+
+
+def test_slab_plan_mixed_beats_uniform():
+    """The packed path's mixed-size slab plan must cover the rows and never
+    cost more than the best uniform tiling (the r5 regression case: 136
+    rows -> (128, 8) at 24.5 ms vs 5 x 32 at 35.4)."""
+    from autovc_tpu.models.autoencoder import (_SLAB_LADDER, _SLAB_MS,
+                                               _pick_slab, _slab_plan)
+    for rows in (1, 8, 17, 48, 136, 200, 250, 300, 1000, 4096):
+        plan = _slab_plan(rows)
+        assert sum(plan) >= rows
+        assert all(s in _SLAB_LADDER for s in plan)
+        cost = sum(_SLAB_MS[s] for s in plan)
+        uni = _pick_slab(rows)
+        uni_cost = -(-rows // uni) * _SLAB_MS[uni]
+        assert cost <= uni_cost + 1e-9, (rows, plan, cost, uni_cost)
+    assert _slab_plan(136) == (128, 8)
