@@ -211,6 +211,23 @@ def test_convert_fused_dispatch_matches_staged(vc, short_wav):
         assert corr > 0.99, corr
 
 
+def test_convert_fused_with_buckets_and_partial_frames(vc, short_wav):
+    """The single-dispatch path composes with the pad_to_seconds bucketing
+    and the partial_frames latency knob exactly like the staged path."""
+    for kwargs in ({"pad_to_seconds": 1.0}, {"partial_frames": 32}):
+        staged = vc.convert(short_wav, short_wav, save_name=False,
+                            outprocess=(), seed=7, fuse_dispatch=False,
+                            **kwargs)
+        fused = vc.convert(short_wav, short_wav, save_name=False,
+                           outprocess=(), seed=7, fuse_dispatch=True,
+                           **kwargs)
+        assert len(fused.wav) == len(staged.wav), kwargs
+        assert np.isfinite(fused.wav).all()
+        if not np.allclose(fused.wav, staged.wav, rtol=0, atol=1e-3):
+            corr = np.corrcoef(fused.wav, staged.wav)[0, 1]
+            assert corr > 0.99, (kwargs, corr)
+
+
 def test_convert_partial_frames_below_freq_raises(vc, short_wav):
     with pytest.raises(ValueError):
         vc.convert(short_wav, f"{SAMPLES}/HaegueYang_5.wav",
