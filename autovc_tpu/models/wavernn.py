@@ -761,7 +761,8 @@ def resolve_backend(backend: str, cfg: WaveRNNConfig, target: int,
 
 def _prepare_frame_conditioning(params: Params, mel: jnp.ndarray,
                                 cfg: WaveRNNConfig, target: int,
-                                overlap: int, batched: bool):
+                                overlap: int, batched: bool,
+                                aux_pre: jnp.ndarray | None = None):
     """Frame-rate conditioning for the Pallas rows kernel.
 
     Produces (mel_rows (B, fpf+2J, feat), aux_rows (B, fpf, res_out)) with
@@ -774,8 +775,15 @@ def _prepare_frame_conditioning(params: Params, mel: jnp.ndarray,
     S = cfg.total_scale
     _, J = _composite_upsample_kernel(params["upsample"]["up_convs"],
                                       cfg.upsample_factors)
-    aux, _ = _mel_resnet(params["upsample"]["resnet"],
-                         pad_mel(mel, cfg.pad), cfg.pad)
+    if aux_pre is None:
+        aux, _ = _mel_resnet(params["upsample"]["resnet"],
+                             pad_mel(mel, cfg.pad), cfg.pad)
+    else:
+        # precomputed (1, res_out, F) features — the batch-serving path
+        # runs ONE MelResNet pass over every utterance (padded to the
+        # longest; valid convs make the shared pass exact per utterance)
+        # instead of a latency-bound per-utterance pass each
+        aux = aux_pre
     aux = jnp.swapaxes(aux, 1, 2)                      # (1, F, res_out)
     melT = jnp.swapaxes(mel, 1, 2)                     # (1, F, feat)
     if not batched:
@@ -921,12 +929,31 @@ def _generate_many_program(params: Params, mels: tuple, key,
                            interpret: bool = False):
     """Whole-serve-pass program: per-utterance conditioning, the union
     slab sampling loop, per-utterance unfold/trim/fade, one int16 stack."""
-    prep = (_prepare_frame_conditioning if backend == "pallas"
-            else _prepare_conditioning)
+    aux_all = None
+    if backend == "pallas" and len(mels) > 1:
+        # ONE MelResNet pass for the whole serve batch (utterances padded
+        # to the longest mel): the per-utterance passes are latency-bound
+        # small convs and cost ~1 ms each (~8 ms of a 92 ms serve batch);
+        # valid convs + eval-mode BN make the shared pass exact per
+        # utterance (trailing zero frames cannot reach frame < F_u)
+        Fmax = max(int(m.shape[-1]) for m in mels)
+        stacked = jnp.concatenate(
+            [jnp.pad(m, ((0, 0), (0, 0), (0, Fmax - m.shape[-1])))
+             for m in mels], axis=0)
+        aux_all, _ = _mel_resnet(params["upsample"]["resnet"],
+                                 pad_mel(stacked, cfg.pad), cfg.pad)
+
     conds, auxs, counts, wave_lens = [], [], [], []
-    for mel in mels:
+    for u, mel in enumerate(mels):
         wave_lens.append((mel.shape[-1] - 1) * cfg.hop_length)
-        cond, aux = prep(params, mel, cfg, target, overlap, True)
+        if backend == "pallas":
+            aux_pre = (None if aux_all is None
+                       else aux_all[u:u + 1, :, :mel.shape[-1]])
+            cond, aux = _prepare_frame_conditioning(
+                params, mel, cfg, target, overlap, True, aux_pre)
+        else:
+            cond, aux = _prepare_conditioning(params, mel, cfg, target,
+                                              overlap, True)
         conds.append(cond)
         auxs.append(aux)
         counts.append(cond.shape[0])
