@@ -466,16 +466,11 @@ def _stack_train_bwd(interpret, L, res, cts):
     # kernel accumulates all L layers — drop entry 0 to match
     if L == 1:
         dwih_out = jnp.zeros_like(wih)
-        db_out = jnp.zeros_like(b_like(whh))
+        db_out = jnp.zeros((1, 1, 4 * H), jnp.float32)   # dummy b input
     else:
         dwih_out = dwih
         db_out = db[1:]
     return (dxp0, dwhh, dwih_out, db_out)
-
-
-def b_like(whh):
-    import jax.numpy as _jnp
-    return _jnp.zeros((1, 1, whh.shape[-1]), _jnp.float32)
 
 
 _stack_train.defvjp(_stack_train_fwd, _stack_train_bwd)
