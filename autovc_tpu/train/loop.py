@@ -168,28 +168,34 @@ def train_autoencoder(params, dataset, cfg: AutoEncoderConfig,
 
     n_total = n_epochs * steps_per_epoch
     step = start_step
-    running, log_steps, t_start = 0.0, 0, time.time()
+    loss_hist, t_start = [], time.time()
     x = c = None   # last batch, kept for the reconstruction figure
     for epoch in range(1, n_epochs + 1):
         for x, c in dataset.batches(batch_size, shuffle=True, seed=epoch):
             params, opt_state, ema, aux = step_fn(params, opt_state, ema,
                                                   x, c)
             step += 1
-            running += float(aux["loss"])
-            log_steps += 1
+            # keep the loss as a DEVICE scalar: a float() here is a host
+            # sync EVERY step, serialising batch upload with device
+            # compute (and paying a round-trip per step on tunneled
+            # devices); the pull happens once per log_freq steps below
+            loss_hist.append(aux["loss"])
+            if len(loss_hist) > max(log_freq, 1):
+                loss_hist.pop(0)        # bounded when no logger consumes
             if verbose:
                 progbar(step - start_step, n_total, {
                     "sec/step": round((time.time() - t_start)
                                       / (step - start_step), 2)})
             if logger is not None and (step % log_freq == 0
                                        or step - start_step == n_total):
-                logger.log({"loss": running / max(log_steps, 1),
+                mean_loss = float(np.mean([float(l) for l in loss_hist]))
+                logger.log({"loss": mean_loss,
                             "loss_recon": float(aux["loss_recon"]),
                             "loss_content": float(aux["loss_content"]),
                             "grad_norm": float(aux["grad_norm"]),
                             "learning_rate": float(lr_schedule(step)),
                             "epoch": epoch, "step": step}, step=step)
-                running, log_steps = 0.0, 0
+                loss_hist = []
         if (epoch % save_freq == 0 or epoch == n_epochs) and model_name:
             from autovc_tpu.utils.checkpoint import save_checkpoint
             # async: the write happens off-thread, the loop keeps stepping
@@ -331,13 +337,16 @@ def train_speaker_encoder(params, dataset, cfg: SpeakerEncoderConfig,
         for batch in dataset.batches(utterances_per_speaker,
                                      n_batches=steps_per_epoch, seed=epoch):
             params, opt_state, aux = step_fn(params, opt_state, batch)
-            loss_val = aux["loss"]
             step += 1
-            if verbose:
+            # loss stays a device scalar between log points (a float()
+            # per step is a host sync that serialises the dispatch chain)
+            if verbose and step % max(log_freq, 1) == 0:
                 progbar(step - start_step, n_total,
-                        {"loss": round(float(loss_val), 4)})
+                        {"loss": round(float(aux["loss"]), 4)})
+            elif verbose:
+                progbar(step - start_step, n_total, {})
             if logger is not None and step % log_freq == 0:
-                logger.log({"loss": float(loss_val),
+                logger.log({"loss": float(aux["loss"]),
                             "grad_norm": float(aux["grad_norm"]),
                             "epoch": epoch, "step": step}, step=step)
         if logger is not None and (epoch % save_freq == 0
@@ -462,13 +471,16 @@ def train_vocoder(params, dataset, cfg: WaveRNNConfig,
                                              seed=epoch):
             params, opt_state, aux = step_fn(params, opt_state, x_in,
                                              y, mels)
-            loss_val = aux["loss"]
             step += 1
-            if verbose:
+            # loss stays a device scalar between log points (a float()
+            # per step is a host sync that serialises the dispatch chain)
+            if verbose and step % max(log_freq, 1) == 0:
                 progbar(step - start_step, n_total,
-                        {"loss": round(float(loss_val), 4)})
+                        {"loss": round(float(aux["loss"]), 4)})
+            elif verbose:
+                progbar(step - start_step, n_total, {})
             if logger is not None and step % log_freq == 0:
-                logger.log({"loss": float(loss_val),
+                logger.log({"loss": float(aux["loss"]),
                             "grad_norm": float(aux["grad_norm"]),
                             "epoch": epoch, "step": step}, step=step)
         if model_name:
